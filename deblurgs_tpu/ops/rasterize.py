@@ -1,0 +1,125 @@
+"""Public differentiable renderer — the ``render()`` of this framework.
+
+Equivalent of reference ``gaussian_renderer/__init__.py:18-90`` +
+``GaussianRasterizer`` (``diff_gaussian_rasterization/__init__.py:189-241``),
+re-composed TPU-first:
+
+  preprocess (pure jnp, autodiff)  →  binning (sort, int-only)  →
+  tile blend (custom_vjp; XLA or Pallas)  →  image/depth/aux
+
+Camera matrices are ordinary traced inputs, so pose gradients (the fork's
+``dL_dviewmatrix`` / ``dL_dprojmatrix``) arrive by autodiff through
+``preprocess``. The ``vsp`` zeros input reproduces the reference's
+``screenspace_points`` gradient channel used for densification stats.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from deblurgs_tpu.core.camera import CameraArrays, CameraStatic
+from deblurgs_tpu.core.transforms import build_covariance
+from deblurgs_tpu.ops import binning as binning_lib
+from deblurgs_tpu.ops import oracle as oracle_lib
+from deblurgs_tpu.ops import preprocess as pre_lib
+from deblurgs_tpu.ops import tile_blend
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizeConfig:
+    """Static rasterizer settings (analog of GaussianRasterizationSettings)."""
+
+    tile_w: int = 16
+    tile_h: int = 16
+    max_pairs: int = 1 << 18
+    k_max: int = 1024
+    backend: str = "xla"        # "xla" | "pallas" | "oracle"
+    interpret: bool = False     # pallas interpret mode
+    cull_z: float = 0.2         # near-cull (auxiliary.h:159)
+    z_far: float = 100.0        # depth background (forward.cu:390)
+    use_sigmoid: bool = False
+    scale_modifier: float = 1.0
+
+    def blend_config(self, cs: CameraStatic) -> tile_blend.BlendConfig:
+        return tile_blend.BlendConfig(
+            width=cs.width, height=cs.height,
+            tile_w=self.tile_w, tile_h=self.tile_h,
+            k_max=self.k_max, z_far=self.z_far,
+            backend=self.backend, interpret=self.interpret,
+        )
+
+
+class RenderOutput(NamedTuple):
+    image: jax.Array       # [H, W, 3]
+    depth: jax.Array       # [H, W]
+    final_T: jax.Array     # [H, W] residual transmittance
+    n_contrib: jax.Array   # [H, W]
+    radii: jax.Array       # [P] int32 (0 = culled) — densification signal
+    visible: jax.Array     # [P] bool (radii > 0)
+    num_pairs: jax.Array   # [] emitted pair count (overflow if > max_pairs)
+    max_per_tile: jax.Array  # [] max pairs in any tile (k_max adequacy)
+
+
+def render(
+    means3d: jax.Array,
+    scales: jax.Array,
+    rotations: jax.Array,
+    opacities: jax.Array,
+    shs: Optional[jax.Array],
+    cam: CameraArrays,
+    cs: CameraStatic,
+    bg: jax.Array,
+    *,
+    cfg: RasterizeConfig = RasterizeConfig(),
+    sh_degree: int = 0,
+    colors_precomp: Optional[jax.Array] = None,
+    active: Optional[jax.Array] = None,
+    vsp: Optional[jax.Array] = None,
+) -> RenderOutput:
+    """Render one view. All Gaussian inputs are post-activation values
+    (matching what reference ``render`` passes to the rasterizer).
+
+    Args:
+      means3d: [P, 3]; scales: [P, 3]; rotations: [P, 4] (w,x,y,z; will be
+        used unnormalized like the CUDA kernel — normalize at the model layer);
+      opacities: [P]; shs: [P, K, 3] or None with ``colors_precomp`` [P, 3].
+      active: [P] bool mask for static-capacity slots.
+      vsp: optional [P, 2] zeros; its gradient = NDC viewspace grads.
+    """
+    cov6 = build_covariance(scales, rotations, cfg.scale_modifier)
+    pre = pre_lib.preprocess(
+        means3d, cov6, shs, colors_precomp, opacities, cam, cs,
+        sh_degree=sh_degree, use_sigmoid=cfg.use_sigmoid,
+        tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+        active=active, vsp=vsp, cull_z=cfg.cull_z,
+    )
+
+    if cfg.backend == "oracle":
+        image, depth_img, final_T, n_contrib = oracle_lib.oracle_render(
+            pre, bg, width=cs.width, height=cs.height,
+            tile_w=cfg.tile_w, tile_h=cfg.tile_h, z_far=cfg.z_far,
+        )
+        num_pairs = jnp.sum(pre.tiles_touched)
+        max_per_tile = jnp.int32(0)
+    else:
+        bcfg = cfg.blend_config(cs)
+        bins = binning_lib.bin_gaussians(
+            pre, tiles_x=bcfg.tiles_x, tiles_y=bcfg.tiles_y,
+            max_pairs=cfg.max_pairs,
+        )
+        image, depth_img, final_T, n_contrib = tile_blend.blend_from_binning(
+            bcfg, bins, pre.means2d, pre.conic, pre.opacity,
+            pre.color, pre.depth, bg,
+        )
+        num_pairs = bins.num_pairs
+        max_per_tile = bins.max_per_tile
+
+    return RenderOutput(
+        image=image, depth=depth_img, final_T=final_T, n_contrib=n_contrib,
+        radii=pre.radius, visible=pre.visible,
+        num_pairs=num_pairs, max_per_tile=max_per_tile,
+    )

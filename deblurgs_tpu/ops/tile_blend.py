@@ -1,0 +1,360 @@
+"""Tile-binned alpha compositing with a hand-written VJP (the hot op).
+
+TPU-native replacement for ``renderCUDA`` forward/backward (reference
+``forward.cu:273-392``, ``backward.cu:463-640``):
+
+- **Forward**: for every tile, walk its contiguous slice of the depth-sorted
+  pair list front-to-back, compositing color/depth with transmittance ``T``
+  and early termination at ``T < 1e-4``; emit per-pixel ``final_T`` and
+  ``n_contrib`` as backward residuals (no per-step activations are stored —
+  the memory behavior of the CUDA design is preserved).
+- **Backward**: walk the same slice *back-to-front*, reconstructing suffix
+  color/depth accumulators (``accum_rec``) and recovering ``T`` by dividing
+  out ``(1 - alpha)`` — the suffix-reconstruction trick of ``backward.cu``.
+  Per-Gaussian gradients reduce over pixels then scatter-add by Gaussian id
+  (replacing CUDA ``atomicAdd`` with deterministic adds).
+
+Two backends with identical semantics:
+- ``xla``:    a ``lax.scan`` over pair slots, all tiles in lockstep
+              ([num_tiles, tile_px] vector ops). Runs anywhere.
+- ``pallas``: Mosaic TPU kernels (see ``pallas_blend.py``) with per-tile
+              dynamic trip counts and VMEM-staged pair chunks.
+
+Gradient conventions: cotangents are *true* gradients (pixel-space mean2d,
+full conic) — the reference's half-b / ndc-scaled storage conventions cancel
+against its preprocess backward, and here that chain is autodiff upstream.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deblurgs_tpu.ops.binning import Binning
+
+_ALPHA_MIN = 1.0 / 255.0
+_T_EPS = 1e-4
+
+
+@dataclasses.dataclass(frozen=True)
+class BlendConfig:
+    """Static blend parameters (hashable; nondiff custom_vjp argument)."""
+
+    width: int
+    height: int
+    tile_w: int = 16
+    tile_h: int = 16
+    k_max: int = 1024          # max pairs composited per tile (cap)
+    z_far: float = 100.0
+    backend: str = "xla"       # "xla" | "pallas"
+    interpret: bool = False    # pallas interpret mode (CPU testing)
+
+    @property
+    def tiles_x(self) -> int:
+        return -(-self.width // self.tile_w)
+
+    @property
+    def tiles_y(self) -> int:
+        return -(-self.height // self.tile_h)
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles_x * self.tiles_y
+
+    @property
+    def tile_px(self) -> int:
+        return self.tile_w * self.tile_h
+
+
+def _pixel_coords(cfg: BlendConfig):
+    """Per-tile flattened pixel coordinates: two [num_tiles, tile_px] arrays."""
+    t = np.arange(cfg.num_tiles)
+    tx0 = (t % cfg.tiles_x) * cfg.tile_w
+    ty0 = (t // cfg.tiles_x) * cfg.tile_h
+    p = np.arange(cfg.tile_px)
+    px = p % cfg.tile_w
+    py = p // cfg.tile_w
+    pix_x = tx0[:, None] + px[None, :]
+    pix_y = ty0[:, None] + py[None, :]
+    return (
+        jnp.asarray(pix_x, jnp.float32),
+        jnp.asarray(pix_y, jnp.float32),
+    )
+
+
+def tiles_to_image(cfg: BlendConfig, tiled: jax.Array) -> jax.Array:
+    """[num_tiles, tile_px, ...] -> [H, W, ...] (crop padded borders)."""
+    trailing = tiled.shape[2:]
+    img = tiled.reshape(
+        (cfg.tiles_y, cfg.tiles_x, cfg.tile_h, cfg.tile_w) + trailing
+    )
+    img = jnp.moveaxis(img, 2, 1).reshape(
+        (cfg.tiles_y * cfg.tile_h, cfg.tiles_x * cfg.tile_w) + trailing
+    )
+    return img[: cfg.height, : cfg.width]
+
+
+def image_to_tiles(cfg: BlendConfig, img: jax.Array) -> jax.Array:
+    """[H, W, ...] -> [num_tiles, tile_px, ...] (zero-pad borders)."""
+    trailing = img.shape[2:]
+    pad_h = cfg.tiles_y * cfg.tile_h - cfg.height
+    pad_w = cfg.tiles_x * cfg.tile_w - cfg.width
+    img = jnp.pad(img, [(0, pad_h), (0, pad_w)] + [(0, 0)] * len(trailing))
+    img = img.reshape(
+        (cfg.tiles_y, cfg.tile_h, cfg.tiles_x, cfg.tile_w) + trailing
+    )
+    img = jnp.moveaxis(img, 1, 2)
+    return img.reshape((cfg.num_tiles, cfg.tile_px) + trailing)
+
+
+def _gather_pair(binning_arrays, g_safe):
+    means2d, conic, opacity, color, depth = binning_arrays
+    return (
+        means2d[g_safe],
+        conic[g_safe],
+        opacity[g_safe],
+        color[g_safe],
+        depth[g_safe],
+    )
+
+
+# ---------------------------------------------------------------------------
+# XLA backend: lockstep scan over pair slots
+# ---------------------------------------------------------------------------
+
+
+def _xla_forward(cfg, pair_gauss, tile_start, tile_stop,
+                 means2d, conic, opacity, color, depth):
+    P = means2d.shape[0]
+    max_pairs = pair_gauss.shape[0]
+    pix_x, pix_y = _pixel_coords(cfg)
+
+    def body(carry, k):
+        T, C, D, done, n_con = carry
+        idx = tile_start + k
+        pvalid = idx < tile_stop
+        g = pair_gauss[jnp.clip(idx, 0, max_pairs - 1)]
+        g_safe = jnp.clip(g, 0, P - 1)
+        xy, con, opa, col, dep = _gather_pair(
+            (means2d, conic, opacity, color, depth), g_safe
+        )
+        dx = xy[:, 0:1] - pix_x            # [T, px]
+        dy = xy[:, 1:2] - pix_y
+        power = (-0.5 * (con[:, 0:1] * dx * dx + con[:, 2:3] * dy * dy)
+                 - con[:, 1:2] * dx * dy)
+        alpha = jnp.minimum(0.99, opa[:, None] * jnp.exp(jnp.minimum(power, 0.0)))
+        eligible = (pvalid[:, None] & ~done
+                    & (power <= 0.0) & (alpha >= _ALPHA_MIN))
+        test_T = T * (1.0 - alpha)
+        stop = eligible & (test_T < _T_EPS)
+        contribute = eligible & ~stop
+
+        w = jnp.where(contribute, alpha * T, 0.0)
+        C = C + w[..., None] * col[:, None, :]
+        D = D + w * dep[:, None]
+        T = jnp.where(contribute, test_T, T)
+        done = done | stop
+        n_con = jnp.where(contribute, k + 1, n_con)
+        return (T, C, D, done, n_con), None
+
+    nt, px = cfg.num_tiles, cfg.tile_px
+    init = (
+        jnp.ones((nt, px), jnp.float32),
+        jnp.zeros((nt, px, 3), jnp.float32),
+        jnp.zeros((nt, px), jnp.float32),
+        jnp.zeros((nt, px), bool),
+        jnp.zeros((nt, px), jnp.int32),
+    )
+    (T, C, D, _, n_con), _ = jax.lax.scan(
+        body, init, jnp.arange(cfg.k_max, dtype=jnp.int32)
+    )
+    return C, D, T, n_con
+
+
+def _xla_backward(cfg, pair_gauss, tile_start, tile_stop,
+                  means2d, conic, opacity, color, depth, bg,
+                  final_T_t, n_con_t, dL_dpix_t, dL_dpixd_t):
+    """Back-to-front gradient pass (mirrors ``backward.cu:463-640``).
+
+    All *_t arrays are tiled [num_tiles, tile_px(, c)] layouts.
+    Returns per-Gaussian grads + dL/dbg.
+    """
+    P = means2d.shape[0]
+    max_pairs = pair_gauss.shape[0]
+    pix_x, pix_y = _pixel_coords(cfg)
+
+    bg_dot = (dL_dpix_t @ bg) + cfg.z_far * dL_dpixd_t   # [T, px]
+
+    d_means2d = jnp.zeros((P, 2), jnp.float32)
+    d_conic = jnp.zeros((P, 3), jnp.float32)
+    d_opacity = jnp.zeros((P,), jnp.float32)
+    d_color = jnp.zeros((P, 3), jnp.float32)
+    d_depth = jnp.zeros((P,), jnp.float32)
+
+    def body(carry, k):
+        (T, accum_rec, accum_d, last_alpha, last_color, last_depth,
+         dm, dc, do, dcol, dd) = carry
+        idx = tile_start + k
+        pvalid = idx < tile_stop
+        g = pair_gauss[jnp.clip(idx, 0, max_pairs - 1)]
+        g_safe = jnp.clip(g, 0, P - 1)
+        xy, con, opa, col, dep = _gather_pair(
+            (means2d, conic, opacity, color, depth), g_safe
+        )
+        dx = xy[:, 0:1] - pix_x
+        dy = xy[:, 1:2] - pix_y
+        power = (-0.5 * (con[:, 0:1] * dx * dx + con[:, 2:3] * dy * dy)
+                 - con[:, 1:2] * dx * dy)
+        G = jnp.exp(jnp.minimum(power, 0.0))
+        alpha = jnp.minimum(0.99, opa[:, None] * G)
+        # contributed in forward: pair valid, before this pixel's stop point,
+        # and passed the power/alpha gates
+        process = (pvalid[:, None] & (k < n_con_t)
+                   & (power <= 0.0) & (alpha >= _ALPHA_MIN))
+
+        one_m_a = jnp.where(process, 1.0 - alpha, 1.0)
+        T_new = T / one_m_a
+
+        dcd = alpha * T_new                      # dchannel_dcolor [T, px]
+        # suffix accumulators (updated with *previous* last_? values first)
+        accum_rec_new = jnp.where(
+            process[..., None],
+            last_alpha[..., None] * last_color + (1 - last_alpha[..., None]) * accum_rec,
+            accum_rec,
+        )
+        accum_d_new = jnp.where(
+            process, last_alpha * last_depth + (1 - last_alpha) * accum_d, accum_d
+        )
+        dL_dalpha = jnp.sum((col[:, None, :] - accum_rec_new) * dL_dpix_t, -1)
+        dL_dalpha = dL_dalpha + (dep[:, None] - accum_d_new) * dL_dpixd_t
+        dL_dalpha = dL_dalpha * T_new
+        dL_dalpha = dL_dalpha + (-final_T_t / one_m_a) * bg_dot
+        dL_dalpha = jnp.where(process, dL_dalpha, 0.0)
+
+        dL_dG = opa[:, None] * dL_dalpha
+        gdx = G * dx
+        gdy = G * dy
+        # pixel-space mean2d grads (true gradient; ndc scaling is upstream)
+        dG_ddelx = -gdx * con[:, 0:1] - gdy * con[:, 1:2]
+        dG_ddely = -gdy * con[:, 2:3] - gdx * con[:, 1:2]
+
+        pm = process
+        dmean_x = jnp.sum(dL_dG * dG_ddelx, -1)
+        dmean_y = jnp.sum(dL_dG * dG_ddely, -1)
+        dcon_a = jnp.sum(-0.5 * gdx * dx * dL_dG, -1)
+        dcon_b = jnp.sum(-(gdx * dy) * dL_dG, -1)      # true grad (CUDA stores half)
+        dcon_c = jnp.sum(-0.5 * gdy * dy * dL_dG, -1)
+        dopa = jnp.sum(G * dL_dalpha, -1)
+        dcol_g = jnp.einsum("tp,tpc->tc", jnp.where(pm, dcd, 0.0), dL_dpix_t)
+        ddep_g = jnp.sum(jnp.where(pm, dcd, 0.0) * dL_dpixd_t, -1)
+
+        dm = dm.at[g_safe].add(jnp.stack([dmean_x, dmean_y], -1))
+        dc = dc.at[g_safe].add(jnp.stack([dcon_a, dcon_b, dcon_c], -1))
+        do = do.at[g_safe].add(dopa)
+        dcol = dcol.at[g_safe].add(dcol_g)
+        dd = dd.at[g_safe].add(ddep_g)
+
+        T_out = jnp.where(process, T_new, T)
+        last_alpha_out = jnp.where(process, alpha, last_alpha)
+        last_color_out = jnp.where(process[..., None], col[:, None, :], last_color)
+        last_depth_out = jnp.where(process, dep[:, None], last_depth)
+        return (T_out, accum_rec_new, accum_d_new, last_alpha_out,
+                last_color_out, last_depth_out, dm, dc, do, dcol, dd), None
+
+    nt, px = cfg.num_tiles, cfg.tile_px
+    init = (
+        final_T_t,
+        jnp.zeros((nt, px, 3), jnp.float32),
+        jnp.zeros((nt, px), jnp.float32),
+        jnp.zeros((nt, px), jnp.float32),
+        jnp.zeros((nt, px, 3), jnp.float32),
+        jnp.zeros((nt, px), jnp.float32),
+        d_means2d, d_conic, d_opacity, d_color, d_depth,
+    )
+    ks = jnp.arange(cfg.k_max - 1, -1, -1, dtype=jnp.int32)
+    carry, _ = jax.lax.scan(body, init, ks)
+    (_, _, _, _, _, _, dm, dc, do, dcol, dd) = carry
+
+    dL_dbg = jnp.einsum("tp,tpc->c", final_T_t, dL_dpix_t)
+    return dm, dc, do, dcol, dd, dL_dbg
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def blend(cfg: BlendConfig, pair_gauss, tile_start, tile_stop,
+          means2d, conic, opacity, color, depth, bg):
+    """Composite sorted pairs into an image.
+
+    Returns (image [H, W, 3], depth_img [H, W], final_T [H, W], n_contrib [H, W]).
+    """
+    out, _ = _blend_fwd(cfg, pair_gauss, tile_start, tile_stop,
+                        means2d, conic, opacity, color, depth, bg)
+    return out
+
+
+def _blend_fwd(cfg, pair_gauss, tile_start, tile_stop,
+               means2d, conic, opacity, color, depth, bg):
+    if cfg.backend == "pallas":
+        from deblurgs_tpu.ops import pallas_blend
+
+        C, D, T, n_con = pallas_blend.forward(
+            cfg, pair_gauss, tile_start, tile_stop,
+            means2d, conic, opacity, color, depth)
+    else:
+        C, D, T, n_con = _xla_forward(
+            cfg, pair_gauss, tile_start, tile_stop,
+            means2d, conic, opacity, color, depth)
+    image_t = C + T[..., None] * bg
+    depth_t = D + T * cfg.z_far
+    out = (
+        tiles_to_image(cfg, image_t),
+        tiles_to_image(cfg, depth_t),
+        tiles_to_image(cfg, T),
+        tiles_to_image(cfg, n_con),
+    )
+    res = (pair_gauss, tile_start, tile_stop,
+           means2d, conic, opacity, color, depth, bg, T, n_con)
+    return out, res
+
+
+def _blend_bwd(cfg, res, cot):
+    (pair_gauss, tile_start, tile_stop,
+     means2d, conic, opacity, color, depth, bg, final_T_t, n_con_t) = res
+    dL_dimage, dL_ddepth, _dT, _dn = cot
+    dL_dpix_t = image_to_tiles(cfg, dL_dimage)
+    dL_dpixd_t = image_to_tiles(cfg, dL_ddepth)
+
+    if cfg.backend == "pallas":
+        from deblurgs_tpu.ops import pallas_blend
+
+        dm, dc, do, dcol, dd, dbg = pallas_blend.backward(
+            cfg, pair_gauss, tile_start, tile_stop,
+            means2d, conic, opacity, color, depth, bg,
+            final_T_t, n_con_t, dL_dpix_t, dL_dpixd_t)
+    else:
+        dm, dc, do, dcol, dd, dbg = _xla_backward(
+            cfg, pair_gauss, tile_start, tile_stop,
+            means2d, conic, opacity, color, depth, bg,
+            final_T_t, n_con_t, dL_dpix_t, dL_dpixd_t)
+
+    int_zero = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return (int_zero(pair_gauss), int_zero(tile_start), int_zero(tile_stop),
+            dm, dc, do, dcol, dd, dbg)
+
+
+blend.defvjp(_blend_fwd, _blend_bwd)
+
+
+def blend_from_binning(cfg: BlendConfig, binning: Binning,
+                       means2d, conic, opacity, color, depth, bg):
+    """Convenience wrapper taking a :class:`Binning`."""
+    return blend(cfg, binning.pair_gauss, binning.tile_start, binning.tile_stop,
+                 means2d, conic, opacity, color, depth, bg)
