@@ -1,0 +1,276 @@
+"""The jitted DeblurGS train step (reference ``train.py:104-208`` hot loop).
+
+One call renders all sub-frames of one blurry observation, synthesizes the
+blur as their mean, computes the full loss (L1 + temporal smoothness +
+depth-TV + opacity hinge), backprops through the rasterizer *and* the SE(3)
+Bézier camera curves, applies Adam with the reference's per-group scheduled
+LRs, accumulates densification statistics, and (on cadence) runs the
+densify/prune and opacity-reset events — all inside a single ``jax.jit``.
+
+Phase behavior (reference ``train.py:114-130``): before ``curve_start_iter``
+the model trains as sharp 3DGS on a single trajectory-start pose per image
+(``nu = [0]``, curve frozen); that phase has a different static sub-frame
+count, so the host loop selects between two compiled variants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from deblurgs_tpu.core.camera import CameraStatic
+from deblurgs_tpu.models import densify as densify_lib
+from deblurgs_tpu.models import gaussians as gm
+from deblurgs_tpu.models import motion as motion_lib
+from deblurgs_tpu.models import tonemap
+from deblurgs_tpu.ops.rasterize import RasterizeConfig, render
+from deblurgs_tpu.train import losses, optim, schedules
+from deblurgs_tpu.train.config import OptimizationConfig
+
+
+class TrainState(NamedTuple):
+    params: gm.GaussianParams
+    motion: motion_lib.MotionParams
+    aux: gm.GaussianAux
+    adam_g: optim.AdamState
+    adam_m: optim.AdamState
+    step: jax.Array            # [] int32
+    rng: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainStatics:
+    """Everything compile-time about the trainer (hashable jit static arg)."""
+
+    gcfg: gm.GaussianConfig
+    mcfg: motion_lib.MotionConfig
+    ocfg: OptimizationConfig
+    rcfg: RasterizeConfig
+    cs: CameraStatic
+    sh_degree: int             # active SH degree (bumped by host per 1000 it)
+    n_sub: int                 # sub-frames rendered this phase (1 or f)
+    tone_mapping: str = "gamma"
+    spatial_lr_scale: float = 1.0
+    random_sample: bool = False
+
+
+class StepMetrics(NamedTuple):
+    loss: jax.Array
+    l1: jax.Array
+    t_smooth: jax.Array
+    hinge: jax.Array
+    depth_tv: jax.Array
+    psnr: jax.Array
+    num_active: jax.Array
+    num_pairs: jax.Array
+    max_per_tile: jax.Array
+    densify: densify_lib.DensifyReport
+
+
+def init_state(params, motion_params, aux, key) -> TrainState:
+    return TrainState(
+        params=params,
+        motion=motion_params,
+        aux=aux,
+        adam_g=optim.init(params),
+        adam_m=optim.init(motion_params),
+        step=jnp.ones((), jnp.int32),  # == reference 1-based `iteration`
+        rng=key,
+    )
+
+
+def train_step(state: TrainState, gt_image: jax.Array, cam_idx: jax.Array,
+               proj: jax.Array, st: TrainStatics):
+    """One optimization step. ``gt_image``: [H, W, 3]; ``cam_idx``: [] int32."""
+    ocfg, gcfg, mcfg = st.ocfg, st.gcfg, st.mcfg
+    step = state.step
+    rng, k_nu, k_bg, k_noise, k_densify = jax.random.split(state.rng, 5)
+
+    # --- sub-frame times (phase-dependent; reference train.py:126-130)
+    if st.n_sub == 1:
+        nu = jnp.zeros((1,), jnp.float32)
+    else:
+        nu = motion_lib.sample_nu(
+            state.motion, cam_idx, mcfg, key=k_nu if st.random_sample else None
+        )
+
+    bg = jax.random.uniform(k_bg, (3,))
+
+    # --- loss over (params, motion, vsp)
+    vsp0 = jnp.zeros((st.n_sub, state.params.xyz.shape[0], 2), jnp.float32)
+    gt_linear = tonemap.tone_map(gt_image, tonemap.inverse_kind(st.tone_mapping))
+    noise = schedules.expon_lr(step, ocfg.noise_init, ocfg.noise_final,
+                               max_steps=ocfg.iterations)
+    gt_linear = gt_linear + jax.random.normal(k_noise, gt_linear.shape) * noise
+    lambda_t_smooth = schedules.expon_lr(
+        step, ocfg.lambda_t_smooth_init, ocfg.lambda_t_smooth_final,
+        max_steps=ocfg.iterations,
+    )
+    n_active = gm.num_active(state.aux)
+
+    def loss_fn(params, motion_params, vsp):
+        rin = gm.render_inputs(params, gcfg)
+        cams = motion_lib.subframe_cameras(motion_params, cam_idx, nu, proj, mcfg)
+
+        def one(args):
+            cam, vsp_i = args
+            out = render(
+                rin["means3d"], rin["scales"], rin["rotations"],
+                rin["opacities"], rin["shs"], cam, st.cs, bg,
+                cfg=st.rcfg, sh_degree=st.sh_degree,
+                active=state.aux.active, vsp=vsp_i,
+            )
+            return (out.image, out.depth, out.radii,
+                    out.num_pairs, out.max_per_tile)
+
+        images, depths, radii, num_pairs, max_per_tile = jax.lax.map(
+            one, (cams, vsp)
+        )
+        blurred = jnp.mean(images, axis=0)
+
+        l1 = losses.l1_loss(blurred, gt_linear)
+        t_smooth = losses.batchwise_smoothness_loss(images)
+        depth_tv = (losses.tv_loss(depths)
+                    if ocfg.lambda_depth_tv > 0.0 else jnp.zeros(()))
+        # hinge over *active* raw opacities; mean over active count
+        # (reference hinge_l2 over the live tensor, loss_utils.py:96-104)
+        x = params.opacity[:, 0]
+        lo = jnp.where(x <= 0.0, x, 0.0)
+        hi = jnp.where(x >= 1.0, x - 1.0, 0.0)
+        hinge_terms = jnp.where(state.aux.active, lo**2 + hi**2, 0.0)
+        hinge = jnp.sum(hinge_terms) / jnp.maximum(n_active, 1)
+
+        total = (l1 + lambda_t_smooth * t_smooth
+                 + ocfg.lambda_depth_tv * depth_tv + ocfg.lambda_hinge * hinge)
+        aux_out = (blurred, l1, t_smooth, hinge, depth_tv,
+                   radii, num_pairs, max_per_tile)
+        return total, aux_out
+
+    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
+    (total, aux_out), (g_params, g_motion, g_vsp) = grad_fn(
+        state.params, state.motion, vsp0
+    )
+    (blurred, l1, t_smooth, hinge, depth_tv,
+     radii, num_pairs, max_per_tile) = aux_out
+
+    # --- optional grad-value clipping (reference train.py:204-205)
+    if ocfg.clip_grad > 0.0:
+        clipv = lambda g: jnp.clip(g, -ocfg.clip_grad, ocfg.clip_grad)
+        g_params = jax.tree.map(clipv, g_params)
+        g_motion = jax.tree.map(clipv, g_motion)
+
+    # --- per-group learning rates (reference training_setup +
+    # update_learning_rate, gaussian_model.py:175-208)
+    sls = st.spatial_lr_scale
+    lr_g = gm.GaussianParams(
+        xyz=schedules.expon_lr(step, ocfg.position_lr_init * sls,
+                               ocfg.position_lr_final * sls,
+                               max_steps=ocfg.iterations),
+        f_dc=jnp.float32(ocfg.feature_lr),
+        f_rest=jnp.float32(ocfg.feature_lr / 20.0),
+        scaling=jnp.float32(ocfg.scaling_lr),
+        rotation=jnp.float32(ocfg.rotation_lr),
+        opacity=jnp.float32(ocfg.opacity_lr),
+    )
+    lr_m = motion_lib.MotionParams(
+        rot_ctrl=schedules.curve_half_life_lr(
+            step, ocfg.curve_rotation_lr, ocfg.curve_start_iter,
+            ocfg.curve_lr_half_iter),
+        trans_ctrl=schedules.curve_half_life_lr(
+            step, ocfg.curve_controlpoints_lr, ocfg.curve_start_iter,
+            ocfg.curve_lr_half_iter),
+        nu=schedules.warmup_exp_decay(
+            step, ocfg.curve_alignment_lr, 1e-7,
+            ocfg.curve_alignment_start, ocfg.iterations),
+    )
+
+    # --- masks: gaussian rows by active; curve leaves by phase
+    # (reference alternate_optimization flips requires_grad at
+    # curve_start/end, train.py:114-116)
+    active = state.aux.active
+    mask_g = gm.GaussianParams(*([active] * 6))
+    curve_on = (step >= ocfg.curve_start_iter) & (step < ocfg.curve_end_iter)
+    mask_m = motion_lib.MotionParams(
+        rot_ctrl=curve_on, trans_ctrl=curve_on, nu=curve_on
+    )
+
+    new_params, adam_g = optim.update(
+        state.params, g_params, state.adam_g, lr_g, update_mask=mask_g
+    )
+    new_motion, adam_m = optim.update(
+        state.motion, g_motion, state.adam_m, lr_m, update_mask=mask_m
+    )
+
+    # --- densification bookkeeping (reference train.py:187-199)
+    aux = state.aux
+    do_stats = step < ocfg.densify_until_iter
+    vis = radii > 0                                              # [n_sub, P]
+    norm = jnp.linalg.norm(g_vsp, axis=-1)                       # [n_sub, P]
+    accum_inc = jnp.sum(jnp.where(vis, norm, 0.0), axis=0)
+    denom_inc = jnp.sum(vis, axis=0).astype(jnp.float32) / st.n_sub
+    radii_max = jnp.max(jnp.where(vis, radii, 0), axis=0).astype(jnp.float32)
+    aux = aux._replace(
+        xyz_grad_accum=jnp.where(do_stats, aux.xyz_grad_accum + accum_inc,
+                                 aux.xyz_grad_accum),
+        denom=jnp.where(do_stats, aux.denom + denom_inc, aux.denom),
+        max_radii2d=jnp.where(do_stats,
+                              jnp.maximum(aux.max_radii2d, radii_max),
+                              aux.max_radii2d),
+    )
+
+    # --- densify / prune event (traced cond; reference train.py:195-199)
+    thr = schedules.expon_lr(step, ocfg.densify_grad_threshold_init,
+                             ocfg.densify_grad_threshold_final,
+                             max_steps=ocfg.densify_annealing_until)
+    do_densify = (do_stats & (step > ocfg.densify_from_iter)
+                  & (step % ocfg.densification_interval == 0))
+
+    def densify_branch(args):
+        p, a, ad = args
+        return densify_lib.densify_and_prune(
+            p, a, ad, k_densify, cfg=gcfg, grad_threshold=thr,
+            scene_extent=st.spatial_lr_scale,
+            percent_dense=ocfg.percent_dense,
+        )
+
+    def no_densify(args):
+        p, a, ad = args
+        zero = jnp.zeros((), jnp.int32)
+        return p, a, ad, densify_lib.DensifyReport(zero, zero, zero, zero)
+
+    new_params, aux, adam_g, report = jax.lax.cond(
+        do_densify, densify_branch, no_densify, (new_params, aux, adam_g)
+    )
+
+    # --- opacity reset (reference train.py:201)
+    do_reset = do_stats & (step % ocfg.opacity_reset_interval == 0)
+
+    def reset_branch(args):
+        p, ad = args
+        return densify_lib.reset_opacity(p, ad, gcfg)
+
+    new_params, adam_g = jax.lax.cond(
+        do_reset, reset_branch, lambda a: a, (new_params, adam_g)
+    )
+
+    metrics = StepMetrics(
+        loss=total, l1=l1, t_smooth=t_smooth, hinge=hinge, depth_tv=depth_tv,
+        psnr=losses.psnr(jnp.clip(blurred, 0, 1), jnp.clip(gt_linear, 0, 1)),
+        num_active=gm.num_active(aux),
+        num_pairs=jnp.max(num_pairs),
+        max_per_tile=jnp.max(max_per_tile),
+        densify=report,
+    )
+    new_state = TrainState(
+        params=new_params, motion=new_motion, aux=aux,
+        adam_g=adam_g, adam_m=adam_m, step=step + 1, rng=rng,
+    )
+    return new_state, metrics
+
+
+def make_train_step(st: TrainStatics):
+    """jit-compiled train step bound to static settings."""
+    return jax.jit(lambda state, gt, idx, proj: train_step(state, gt, idx, proj, st))

@@ -1,0 +1,160 @@
+"""End-to-end train step integration tests (SURVEY.md §4.4): tiny synthetic
+scene, loss must decrease; the blur phase must move curve parameters."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deblurgs_tpu.core import camera as cam_lib
+from deblurgs_tpu.core import lie
+from deblurgs_tpu.models import gaussians as gm
+from deblurgs_tpu.models import motion as motion_lib
+from deblurgs_tpu.ops.rasterize import RasterizeConfig, render
+from deblurgs_tpu.train import step as step_lib
+from deblurgs_tpu.train.config import OptimizationConfig
+
+
+def build_synthetic(key, n_cams=4, n_pts=48, width=32, height=32):
+    """A 'true' Gaussian scene rendered from a camera ring = training data."""
+    fovx = 1.1
+    fovy = 2 * math.atan(math.tan(fovx / 2) * height / width)
+    cs = cam_lib.CameraStatic(width=width, height=height,
+                              tanfovx=math.tan(fovx / 2),
+                              tanfovy=math.tan(fovy / 2))
+    proj = cam_lib.get_projection_matrix(0.01, 100.0, fovx, fovy)
+
+    ks = jax.random.split(key, 6)
+    pts = jax.random.normal(ks[0], (n_pts, 3)) * 0.8
+    cols = jax.random.uniform(ks[1], (n_pts, 3), minval=0.1, maxval=0.9)
+
+    gcfg = gm.GaussianConfig(sh_degree=1)
+    true_params, true_aux = gm.create_from_pcd(pts, cols, gcfg, capacity=n_pts)
+    # make the true scene chunky & opaque so images carry signal
+    true_params = true_params._replace(
+        opacity=jnp.full_like(true_params.opacity, 0.8),
+    )
+
+    rots, centers, views = [], [], []
+    for i in range(n_cams):
+        ang = 2 * math.pi * i / max(n_cams, 1) * 0.15
+        rot = lie.so3_exp_map(jnp.array([[0.0, ang, 0.0]]))[0]
+        center = rot @ jnp.array([0.0, 0.0, -4.0])
+        rots.append(rot)
+        centers.append(center)
+        views.append(cam_lib.c2w_to_view(rot, center))
+    rots = jnp.stack(rots)
+    centers = jnp.stack(centers)
+
+    rcfg = RasterizeConfig(backend="xla", max_pairs=1 << 12, k_max=256)
+    rin = gm.render_inputs(true_params, gcfg)
+    gts = []
+    bg = jnp.zeros(3)
+    for v in views:
+        cam = cam_lib.make_camera_arrays(v, proj)
+        out = render(rin["means3d"], rin["scales"], rin["rotations"],
+                     rin["opacities"], rin["shs"], cam, cs, bg,
+                     cfg=rcfg, sh_degree=1, active=true_aux.active)
+        gts.append(out.image)
+    gts = jnp.stack(gts)
+    return dict(cs=cs, proj=proj, gts=gts, rots=rots, centers=centers,
+                pts=pts, cols=cols, gcfg=gcfg, rcfg=rcfg)
+
+
+class TestTrainStep:
+    def test_sharp_phase_loss_decreases(self):
+        data = build_synthetic(jax.random.PRNGKey(0))
+        gcfg, rcfg = data["gcfg"], data["rcfg"]
+        # init from noisy points
+        noisy = data["pts"] + 0.05 * jax.random.normal(jax.random.PRNGKey(1),
+                                                       data["pts"].shape)
+        params, aux = gm.create_from_pcd(noisy, data["cols"], gcfg, capacity=96)
+        mcfg = motion_lib.MotionConfig(curve_order=3, n_subframes=5)
+        motion_params = motion_lib.init_motion(data["rots"], data["centers"],
+                                               mcfg, jax.random.PRNGKey(2),
+                                               init_noise=0.0)
+        ocfg = OptimizationConfig(
+            iterations=400, curve_start_iter=10_000,  # stay in sharp phase
+            densify_from_iter=50, densification_interval=100,
+            densify_until_iter=300, opacity_reset_interval=10_000,
+            position_lr_init=0.004, position_lr_final=0.0004,
+            lambda_hinge=0.1,
+        )
+        st = step_lib.TrainStatics(
+            gcfg=gcfg, mcfg=mcfg, ocfg=ocfg, rcfg=rcfg, cs=data["cs"],
+            sh_degree=1, n_sub=1, tone_mapping="identity",
+            spatial_lr_scale=2.0,
+        )
+        state = step_lib.init_state(params, motion_params, aux,
+                                    jax.random.PRNGKey(3))
+        fn = step_lib.make_train_step(st)
+
+        first_losses, last_losses = [], []
+        n_cams = data["gts"].shape[0]
+        for it in range(120):
+            idx = it % n_cams
+            state, metrics = fn(state, data["gts"][idx], jnp.int32(idx),
+                                data["proj"])
+            if it < 12:
+                first_losses.append(float(metrics.l1))
+            if it >= 108:
+                last_losses.append(float(metrics.l1))
+        assert np.mean(last_losses) < 0.55 * np.mean(first_losses), (
+            np.mean(first_losses), np.mean(last_losses))
+        assert int(metrics.num_active) >= 48  # densify may add, never nuke
+
+    def test_blur_phase_updates_curves(self):
+        data = build_synthetic(jax.random.PRNGKey(5), n_cams=2)
+        gcfg, rcfg = data["gcfg"], data["rcfg"]
+        params, aux = gm.create_from_pcd(data["pts"], data["cols"], gcfg,
+                                         capacity=64)
+        mcfg = motion_lib.MotionConfig(curve_order=3, n_subframes=5)
+        motion_params = motion_lib.init_motion(data["rots"], data["centers"],
+                                               mcfg, jax.random.PRNGKey(6),
+                                               init_noise=0.01)
+        ocfg = OptimizationConfig(
+            iterations=1000, curve_start_iter=1, curve_end_iter=1000,
+            densify_from_iter=10_000, opacity_reset_interval=10_000,
+        )
+        st = step_lib.TrainStatics(
+            gcfg=gcfg, mcfg=mcfg, ocfg=ocfg, rcfg=rcfg, cs=data["cs"],
+            sh_degree=1, n_sub=5, tone_mapping="identity",
+            spatial_lr_scale=2.0,
+        )
+        state = step_lib.init_state(params, motion_params, aux,
+                                    jax.random.PRNGKey(7))
+        fn = step_lib.make_train_step(st)
+        m0 = jax.tree.map(lambda x: np.asarray(x).copy(), state.motion)
+        for it in range(4):
+            state, metrics = fn(state, data["gts"][it % 2],
+                                jnp.int32(it % 2), data["proj"])
+        assert np.isfinite(float(metrics.loss))
+        # curve control points moved (grads flowed through SE(3) exp + render)
+        d_rot = np.abs(np.asarray(state.motion.rot_ctrl) - m0.rot_ctrl).max()
+        d_trans = np.abs(np.asarray(state.motion.trans_ctrl) - m0.trans_ctrl).max()
+        assert d_rot > 0 and d_trans > 0
+
+    def test_curve_frozen_before_start(self):
+        data = build_synthetic(jax.random.PRNGKey(8), n_cams=2)
+        gcfg, rcfg = data["gcfg"], data["rcfg"]
+        params, aux = gm.create_from_pcd(data["pts"], data["cols"], gcfg,
+                                         capacity=64)
+        mcfg = motion_lib.MotionConfig(curve_order=3, n_subframes=5)
+        motion_params = motion_lib.init_motion(data["rots"], data["centers"],
+                                               mcfg, jax.random.PRNGKey(9))
+        ocfg = OptimizationConfig(curve_start_iter=1000,
+                                  densify_from_iter=10_000,
+                                  opacity_reset_interval=10_000)
+        st = step_lib.TrainStatics(
+            gcfg=gcfg, mcfg=mcfg, ocfg=ocfg, rcfg=rcfg, cs=data["cs"],
+            sh_degree=1, n_sub=1, tone_mapping="identity",
+        )
+        state = step_lib.init_state(params, motion_params, aux,
+                                    jax.random.PRNGKey(10))
+        fn = step_lib.make_train_step(st)
+        m0 = jax.tree.map(lambda x: np.asarray(x).copy(), state.motion)
+        for it in range(3):
+            state, _ = fn(state, data["gts"][0], jnp.int32(0), data["proj"])
+        for a, b in zip(jax.tree.leaves(state.motion), jax.tree.leaves(m0)):
+            np.testing.assert_array_equal(np.asarray(a), b)
