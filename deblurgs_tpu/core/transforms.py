@@ -49,26 +49,35 @@ def build_scaling_rotation(s: jax.Array, q: jax.Array) -> jax.Array:
 
 
 def build_covariance(s: jax.Array, q: jax.Array, modifier: float = 1.0) -> jax.Array:
-    """World-space 3D covariance Sigma = L L^T packed as 6 uniques.
+    """World-space 3D covariance Sigma = R diag(s²) R^T packed as 6 uniques.
 
     Output layout ``[xx, xy, xz, yy, yz, zz]`` matches the CUDA packing
     (``forward.cu:157-162``) and ``strip_symmetric``
     (``general_utils.py:103-115``). Identical result to the kernel's
-    ``Sigma = (S R)^T (S R)`` with row-vector glm matrices.
+    ``Sigma = (S R)^T (S R)``, computed fully elementwise (batched 3×3
+    matmuls map terribly onto the TPU; Sigma_ij = Σ_k s_k² R_ik R_jk is
+    pure VPU work).
     """
-    L = build_scaling_rotation(modifier * s, q)
-    sigma = L @ jnp.swapaxes(L, -2, -1)
-    return jnp.stack(
-        [
-            sigma[..., 0, 0],
-            sigma[..., 0, 1],
-            sigma[..., 0, 2],
-            sigma[..., 1, 1],
-            sigma[..., 1, 2],
-            sigma[..., 2, 2],
-        ],
-        axis=-1,
-    )
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R00 = 1 - 2 * (y * y + z * z)
+    R01 = 2 * (x * y - r * z)
+    R02 = 2 * (x * z + r * y)
+    R10 = 2 * (x * y + r * z)
+    R11 = 1 - 2 * (x * x + z * z)
+    R12 = 2 * (y * z - r * x)
+    R20 = 2 * (x * z - r * y)
+    R21 = 2 * (y * z + r * x)
+    R22 = 1 - 2 * (x * x + y * y)
+    s2 = (modifier * s) ** 2
+    s0, s1, s22 = s2[..., 0], s2[..., 1], s2[..., 2]
+    xx = s0 * R00 * R00 + s1 * R01 * R01 + s22 * R02 * R02
+    xy = s0 * R00 * R10 + s1 * R01 * R11 + s22 * R02 * R12
+    xz = s0 * R00 * R20 + s1 * R01 * R21 + s22 * R02 * R22
+    yy = s0 * R10 * R10 + s1 * R11 * R11 + s22 * R12 * R12
+    yz = s0 * R10 * R20 + s1 * R11 * R21 + s22 * R12 * R22
+    zz = s0 * R20 * R20 + s1 * R21 * R21 + s22 * R22 * R22
+    return jnp.stack([xx, xy, xz, yy, yz, zz], axis=-1)
 
 
 def normalize(v: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:

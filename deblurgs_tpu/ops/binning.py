@@ -4,14 +4,22 @@ TPU-native equivalent of the CUDA binning stage (reference
 ``rasterizer_impl.cu:70-138, 198-346``):
 
 - cub ``DeviceScan::InclusiveSum``       → ``jnp.cumsum``
-- ``duplicateWithKeys`` (dynamic emit)   → fixed-capacity slot→Gaussian lookup
-                                           via vectorized ``searchsorted``
+- ``duplicateWithKeys`` (dynamic emit)   → fixed-capacity slot→Gaussian
+                                           mapping via **scatter + cumsum**
+                                           (a marker per Gaussian start, then
+                                           a prefix sum — O(P + max_pairs)
+                                           vector work; binary search per
+                                           slot is ~100× slower on TPU)
 - cub 64-bit radix sort of tile‖depth    → lexicographic ``lax.sort`` on
                                            (tile, depth, id), stable
 - ``identifyTileRanges``                 → ``searchsorted`` over sorted tiles
 
-All shapes are static: ``max_pairs`` is a fixed capacity; unused slots carry a
-sentinel tile id that sorts last. Overflow (``num_pairs > max_pairs``) is
+Per-pair attributes travel via one *row gather* from a packed [P, 8] table
+(row gathers of ≥128-bit rows hit the fast TPU gather path; per-field
+element gathers do not).
+
+All shapes are static: ``max_pairs`` is a fixed capacity; unused slots carry
+a sentinel tile id that sorts last. Overflow (``num_pairs > max_pairs``) is
 reported so the host can re-jit with a bigger capacity.
 
 Purely integer/index computation — no gradients flow through this module.
@@ -36,6 +44,29 @@ class Binning(NamedTuple):
     max_per_tile: jax.Array  # [] int32 — k_max adequacy diagnostic
 
 
+def expand_slots(area: jax.Array, max_pairs: int):
+    """Slot → owning-Gaussian map without per-slot binary search.
+
+    Scatters one marker at each Gaussian's first slot, then a prefix sum
+    recovers the Gaussian index per slot (zero-area Gaussians collapse into
+    the same marker position and are skipped by the jump in the sum).
+    Returns (gauss [max_pairs] int32 — clamped to [0, P-1], valid mask,
+    local offset within the Gaussian's rect, total emitted count).
+    """
+    P = area.shape[0]
+    offsets_incl = jnp.cumsum(area)
+    total = offsets_incl[-1] if P > 0 else jnp.int32(0)
+    starts = (offsets_incl - area).astype(jnp.int32)
+
+    marks = jnp.zeros(max_pairs, jnp.int32).at[starts].add(1, mode="drop")
+    gauss = jnp.cumsum(marks) - 1
+    slots = jnp.arange(max_pairs, dtype=jnp.int32)
+    valid = slots < jnp.minimum(total, max_pairs)
+    gauss = jnp.clip(gauss, 0, P - 1).astype(jnp.int32)
+    local = slots - starts[gauss]
+    return gauss, valid, local, total
+
+
 def bin_gaussians(
     pre: PreprocessOut,
     *,
@@ -50,35 +81,49 @@ def bin_gaussians(
     equal-depth orderings agree with the reference.
     """
     num_tiles = tiles_x * tiles_y
+    P = pre.depth.shape[0]
     area = pre.tiles_touched.astype(jnp.int32)
-    offsets_incl = jnp.cumsum(area)                      # [P]
-    total = offsets_incl[-1] if area.shape[0] > 0 else jnp.int32(0)
-    offsets_excl = offsets_incl - area
+    gauss, valid, local, total = expand_slots(area, max_pairs)
 
-    slots = jnp.arange(max_pairs, dtype=jnp.int32)
-    # slot -> owning Gaussian (first g with offsets_incl[g] > slot)
-    gauss = jnp.searchsorted(offsets_incl, slots, side="right").astype(jnp.int32)
-    valid = slots < jnp.minimum(total, max_pairs)
-    g_safe = jnp.clip(gauss, 0, area.shape[0] - 1)
+    # packed per-Gaussian attribute table → one fast row gather
+    table = jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(pre.rect, jnp.float32),  # 4 cols
+            pre.depth[:, None],
+            jnp.zeros((P, 3), jnp.float32),
+        ],
+        axis=-1,
+    )                                                            # [P, 8]
+    rows = table[gauss]                                          # [max_pairs, 8]
+    rect = jax.lax.bitcast_convert_type(rows[:, :4], jnp.int32)
+    depth_key = rows[:, 4]
 
-    local = slots - offsets_excl[g_safe]
-    rect = pre.rect[g_safe]                              # [max_pairs, 4]
     width = jnp.maximum(rect[:, 2] - rect[:, 0], 1)
     dy = local // width
     dx = local - dy * width
     tile = (rect[:, 1] + dy) * tiles_x + (rect[:, 0] + dx)
 
     tile = jnp.where(valid, tile, num_tiles).astype(jnp.int32)
-    depth_key = jnp.where(valid, pre.depth[g_safe], jnp.inf).astype(jnp.float32)
-    gid = jnp.where(valid, g_safe, area.shape[0]).astype(jnp.int32)
+    depth_key = jnp.where(valid, depth_key, jnp.inf).astype(jnp.float32)
+    gid = jnp.where(valid, gauss, P).astype(jnp.int32)
 
     sorted_tile, _, sorted_gauss = jax.lax.sort(
         (tile, depth_key, gid), num_keys=2, is_stable=True
     )
 
-    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
-    tile_stop = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
+    # per-tile ranges by scatter-min/max over the sorted tile ids (identify-
+    # TileRanges equivalent; per-tile binary search is slower on TPU).
+    pos = jnp.arange(max_pairs, dtype=jnp.int32)
+    t_clamped = jnp.minimum(sorted_tile, num_tiles)
+    tile_start = (
+        jnp.full(num_tiles + 1, max_pairs, jnp.int32)
+        .at[t_clamped].min(pos)[:num_tiles]
+    )
+    tile_stop = (
+        jnp.zeros(num_tiles + 1, jnp.int32)
+        .at[t_clamped].max(pos + 1)[:num_tiles]
+    )
+    tile_stop = jnp.maximum(tile_stop, tile_start)  # empty tiles → count 0
 
     return Binning(
         pair_gauss=sorted_gauss,

@@ -1,0 +1,471 @@
+"""Mosaic (Pallas TPU) kernels for the tile compositing hot loop.
+
+TPU-first reformulation of ``renderCUDA`` fwd/bwd (reference
+``forward.cu:273-392``, ``backward.cu:463-640``). The CUDA design is one
+thread per pixel with a *sequential* per-Gaussian loop (transmittance ``T``
+recurrence, early exit at ``T < 1e-4``, back-to-front backward). That shape
+is hostile to a vector machine, so the math is re-derived:
+
+**Prefix-product formulation.** Let ``mult_j = 1 - alpha_j`` for eligible
+pairs (else 1) and ``P_j`` the running *unfrozen* product. The reference's
+early-stop semantics ("freeze before compositing the pair that would push T
+below 1e-4") are *exactly*:
+
+    composite_j  ⟺  eligible_j ∧ P_j ≥ 1e-4
+    weight_j      =  alpha_j · P_{j-1}
+    final_T       =  last composited P_j
+
+because P is non-increasing, so once it crosses the threshold no later pair
+can composite. This turns the sequential recurrence into a cumulative
+product — computed on the **MXU** as ``exp(log(mult) @ triu)`` (``mult ≥
+0.01`` thanks to the 0.99 alpha clamp, so the log is safe) — plus
+elementwise VPU work. Pairs stream HBM→VMEM in double-buffered DMA chunks
+with per-tile dynamic trip counts and whole-tile early exit.
+
+**Backward without back-to-front.** With suffix sums expressed as
+``total − prefix``, the hand-derived gradient
+
+    dL/dalpha_j = dL/dO · (P_{j-1} c_j − S_j / (1−alpha_j)),
+    S_j = Σ_{k>j} w_k c_k + final_T · bg
+
+is algebraically identical to the CUDA ``accum_rec`` recurrence (divide
+through by ``P_j``) but runs as a second *forward-order* streaming pass —
+no ``n_contrib`` bookkeeping, no atomics: per-pair gradients are written to
+the pair's own slot and segment-summed by Gaussian id outside the kernel.
+
+**Layout.** In-kernel arrays are [tile_px, CHUNK]: pairs ride the (128-wide,
+alignment-friendly) lane axis, pixels the sublane axis. Pair fields are
+pre-gathered to ``[16, padded_pairs]`` with every tile's segment aligned to
+CHUNK so each DMA is one contiguous aligned block; field *rows* broadcast
+against pixel *columns* with no in-kernel transposes, and all contractions
+(prefix ops, color accumulation, per-pair reductions) are MXU matmuls.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ALPHA_MIN = 1.0 / 255.0
+_T_EPS = 1e-4
+CHUNK = 128
+NFIELD = 16
+# field rows: 0 x, 1 y, 2 conic_a, 3 conic_b, 4 conic_c, 5 opacity,
+#             6 r, 7 g, 8 b, 9 depth
+# grad rows:  0 dmean_x, 1 dmean_y, 2 dca, 3 dcb, 4 dcc, 5 dopac,
+#             6-8 dcolor, 9 ddepth
+
+
+def _align_layout(cfg, pair_gauss, pair_tile, tile_start, tile_stop):
+    """Re-lay sorted pairs so each tile's segment is CHUNK-aligned.
+
+    ``pair_tile`` (the sorted tile id per pair, sentinel = num_tiles) gives
+    each pair's owner directly — no per-pair search. One small row gather +
+    one scatter of ids. Returns (pair_gauss_padded [MPP], pad_start [T],
+    count [T], MPP).
+    """
+    num_tiles = cfg.num_tiles
+    count = tile_stop - tile_start                       # [T]
+    aligned = ((count + CHUNK - 1) // CHUNK) * CHUNK
+    pad_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(aligned)[:-1].astype(jnp.int32)]
+    ).astype(jnp.int32)
+    max_pairs = pair_gauss.shape[0]
+    mpp = max_pairs + num_tiles * (CHUNK - 1)
+    mpp = ((mpp + CHUNK - 1) // CHUNK) * CHUNK
+
+    pos = jnp.arange(max_pairs, dtype=jnp.int32)
+    valid = pair_tile < num_tiles
+    t_safe = jnp.clip(pair_tile, 0, num_tiles - 1)
+    ttable = jnp.stack([pad_start, tile_start.astype(jnp.int32)], axis=-1)
+    trows = ttable[t_safe]                               # [max_pairs, 2]
+    new_pos = jnp.where(valid, trows[:, 0] + (pos - trows[:, 1]), mpp)
+    pg_padded = jnp.full((mpp,), -1, jnp.int32).at[new_pos].set(
+        pair_gauss, mode="drop"
+    )
+    return pg_padded, pad_start, count.astype(jnp.int32), mpp
+
+
+def _gather_fields(pg_padded, means2d, conic, opacity, color, depth):
+    """[16, MPP] float32 field matrix; padding columns scrubbed to zero.
+
+    One row gather from a packed [P, 16] table (the fast TPU gather path),
+    then a bandwidth-bound transpose — never per-field element gathers.
+    """
+    P = means2d.shape[0]
+    ok = (pg_padded >= 0) & (pg_padded < P)
+    g = jnp.clip(pg_padded, 0, P - 1)
+    table = jnp.concatenate(
+        [
+            means2d,                       # x, y
+            conic,                         # a, b, c
+            opacity[:, None],
+            color,                         # r, g, b
+            depth[:, None],
+            jnp.zeros((P, NFIELD - 10), jnp.float32),
+        ],
+        axis=-1,
+    )                                                     # [P, 16]
+    F = jnp.where(ok[:, None], table[g], 0.0)             # [MPP, 16]
+    return F.T
+
+
+def _utri():
+    """Upper-triangular ones (inclusive) [CHUNK, CHUNK]: ``x @ utri`` is the
+    inclusive prefix sum along the lane axis. Built with iota (kernels
+    cannot capture host constants)."""
+    ri = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    return (ri <= ci).astype(jnp.float32)
+
+
+def _eye(n):
+    ri = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (ri == ci).astype(jnp.float32)
+
+
+def _col_to_row(col):
+    """[N, 1] -> [1, N] via an MXU contraction (avoids a sublane↔lane
+    relayout transpose)."""
+    n = col.shape[0]
+    return jax.lax.dot_general(
+        col, _eye(n), dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _row_to_col(row):
+    """[1, N] -> [N, 1] via an MXU contraction."""
+    n = row.shape[1]
+    return jax.lax.dot_general(
+        _eye(n), row, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _pixel_xy_cols(cfg, t):
+    """Pixel coordinates of tile ``t`` as two [PX, 1] f32 columns."""
+    tiles_x = cfg.tiles_x
+    tx0 = (jax.lax.rem(t, tiles_x) * cfg.tile_w).astype(jnp.float32)
+    ty0 = (jax.lax.div(t, tiles_x) * cfg.tile_h).astype(jnp.float32)
+    i = jax.lax.broadcasted_iota(jnp.int32, (cfg.tile_px, 1), 0)
+    px = tx0 + jax.lax.rem(i, cfg.tile_w).astype(jnp.float32)
+    py = ty0 + jax.lax.div(i, cfg.tile_w).astype(jnp.float32)
+    return px, py
+
+
+def _chunk_alpha(data, pixx, pixy, base, cnt):
+    """Shared per-chunk alpha/eligibility computation.
+
+    data: [16, CHUNK] VMEM chunk. Returns arrays oriented [PX, CHUNK].
+    """
+    x = data[0:1, :]
+    y = data[1:2, :]
+    ca = data[2:3, :]
+    cb = data[3:4, :]
+    cc = data[4:5, :]
+    opac = data[5:6, :]
+    dx = x - pixx                                    # [PX, CHUNK]
+    dy = y - pixy
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    G = jnp.exp(jnp.minimum(power, 0.0))
+    alpha = jnp.minimum(0.99, opac * G)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    within = (base + col) < cnt                      # [1, CHUNK]
+    elig = within & (power <= 0.0) & (alpha >= _ALPHA_MIN)
+    mult = jnp.where(elig, 1.0 - alpha, 1.0)
+    return alpha, mult, elig, dict(dx=dx, dy=dy, G=G, opac=opac,
+                                   ca=ca, cb=cb, cc=cc)
+
+
+def _forward_kernel(cfg, pad_start_ref, count_ref, fields_hbm,
+                    cd_out, t_out, ncon_out, buf, sems):
+    t = pl.program_id(0)
+    start = pad_start_ref[t]
+    cnt = count_ref[t]
+    nchunks = pl.cdiv(cnt, CHUNK)
+    pixx, pixy = _pixel_xy_cols(cfg, t)
+    utri = _utri()
+    px_n = cfg.tile_px
+
+    def dma(slot, q):
+        off = pl.multiple_of(start + q * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            fields_hbm.at[:, pl.ds(off, CHUNK)],
+            buf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def cond(state):
+        q, U, T_out, CD, ncon = state
+        # U is the *unfrozen* running product; once it crosses the
+        # threshold nothing later can composite (P is non-increasing)
+        return (q < nchunks) & (jnp.max(U) >= _T_EPS)
+
+    def body(state):
+        q, U, T_out, CD, ncon = state
+        slot = jax.lax.rem(q, 2)
+
+        @pl.when(q + 1 < nchunks)
+        def _():
+            dma(1 - slot, q + 1).start()
+
+        dma(slot, q).wait()
+        data = buf[slot]                                 # [16, CHUNK]
+        alpha, mult, elig, aux = _chunk_alpha(data, pixx, pixy, q * CHUNK, cnt)
+
+        # unfrozen prefix product on the MXU: P = U * exp(log(mult) @ utri)
+        logm = jnp.log(mult)
+        csum = jnp.dot(logm, utri, preferred_element_type=jnp.float32)
+        P = U * jnp.exp(csum)                            # inclusive, [PX, CHUNK]
+        P_prev = P / mult
+        comp = elig & (P >= _T_EPS)
+        w = jnp.where(comp, alpha * P_prev, 0.0)
+
+        # color+depth accumulation: [4, CHUNK] ⨯ [PX, CHUNK] → [4, PX] (MXU)
+        c_rows = data[6:10, :]
+        CD = CD + jax.lax.dot_general(
+            c_rows, w, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        idx1 = (q * CHUNK + col + 1).astype(jnp.float32)
+        ncon = jnp.maximum(
+            ncon, jnp.max(jnp.where(comp, idx1, 0.0), axis=1, keepdims=True)
+        )
+        # frozen output T = last composited P; unfrozen U keeps multiplying
+        T_out = jnp.minimum(
+            T_out, jnp.min(jnp.where(comp, P, 2.0), axis=1, keepdims=True)
+        )
+        U_next = P[:, CHUNK - 1:]
+        return q + 1, U_next, T_out, CD, ncon
+
+    init = (
+        jnp.int32(0),
+        jnp.ones((px_n, 1), jnp.float32),
+        jnp.ones((px_n, 1), jnp.float32),
+        jnp.zeros((4, px_n), jnp.float32),
+        jnp.zeros((px_n, 1), jnp.float32),
+    )
+    _, _, T_fin, CD, ncon = jax.lax.while_loop(cond, body, init)
+    cd_out[0] = CD
+    t_out[0] = _col_to_row(T_fin)
+    ncon_out[0] = _col_to_row(ncon).astype(jnp.int32)
+
+
+def _backward_kernel(cfg, pad_start_ref, count_ref, fields_hbm, dl_in,
+                     bgdot_in, grads_in_alias, grads_out,
+                     buf, gbuf, sems, gsem):
+    t = pl.program_id(0)
+    start = pad_start_ref[t]
+    cnt = count_ref[t]
+    nchunks = pl.cdiv(cnt, CHUNK)
+    pixx, pixy = _pixel_xy_cols(cfg, t)
+    utri = _utri()
+    px_n = cfg.tile_px
+
+    dl = dl_in[0]                         # [4, PX]: color rows 0-2, depth 3
+    bgdot = _row_to_col(bgdot_in[0])      # [PX, 1]
+
+    def dma_in(slot, q):
+        off = pl.multiple_of(start + q * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            fields_hbm.at[:, pl.ds(off, CHUNK)],
+            buf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma_in(0, 0).start()
+
+    def cond(state):
+        q, U, W_run = state
+        return (q < nchunks) & (jnp.max(U) >= _T_EPS)
+
+    def body(state):
+        q, U, W_run = state
+        slot = jax.lax.rem(q, 2)
+
+        @pl.when(q + 1 < nchunks)
+        def _():
+            dma_in(1 - slot, q + 1).start()
+
+        dma_in(slot, q).wait()
+        data = buf[slot]
+        alpha, mult, elig, aux = _chunk_alpha(data, pixx, pixy, q * CHUNK, cnt)
+
+        logm = jnp.log(mult)
+        csum = jnp.dot(logm, utri, preferred_element_type=jnp.float32)
+        P = U * jnp.exp(csum)
+        P_prev = P / mult
+        comp = elig & (P >= _T_EPS)
+        w = jnp.where(comp, alpha * P_prev, 0.0)
+
+        # per-pair dl·c: [4, PX] ⨯ [4, CHUNK] → [PX, CHUNK] (MXU)
+        c_rows = data[6:10, :]
+        dl_dot_c = jax.lax.dot_general(
+            dl, c_rows, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        # suffix via "total − prefix": host passes
+        # bgdot_in = dl·Σtotal + T_fin·(bg·dL_color + zfar·dL_depth), so
+        # S_j = Σ_{k>j} w_k (dl·c_k) + T_fin·bg_dot = bgdot_in − dlW_j
+        wc = w * dl_dot_c                                  # [PX, CHUNK]
+        prefix_wc = jnp.dot(wc, utri, preferred_element_type=jnp.float32)
+        dlW = W_run + prefix_wc                            # inclusive
+        S = bgdot - dlW
+        dL_dalpha = jnp.where(comp, dl_dot_c * P_prev - S / mult, 0.0)
+
+        G, dx, dy = aux["G"], aux["dx"], aux["dy"]
+        opac, ca, cb, cc = aux["opac"], aux["ca"], aux["cb"], aux["cc"]
+        dL_dG = opac * dL_dalpha
+        gdx = G * dx
+        gdy = G * dy
+        # per-pair reductions over pixels (sublanes) → [1, CHUNK] rows
+        dmx = jnp.sum(dL_dG * (-gdx * ca - gdy * cb), axis=0, keepdims=True)
+        dmy = jnp.sum(dL_dG * (-gdy * cc - gdx * cb), axis=0, keepdims=True)
+        dca = jnp.sum(-0.5 * gdx * dx * dL_dG, axis=0, keepdims=True)
+        dcb = jnp.sum(-(gdx * dy) * dL_dG, axis=0, keepdims=True)
+        dcc = jnp.sum(-0.5 * gdy * dy * dL_dG, axis=0, keepdims=True)
+        dop = jnp.sum(G * dL_dalpha, axis=0, keepdims=True)
+        # per-pair color/depth grads: [4, PX] ⨯ [PX, CHUNK] → [4, CHUNK]
+        dcol = jnp.dot(dl, w, preferred_element_type=jnp.float32)
+
+        gout = jnp.concatenate(
+            [dmx, dmy, dca, dcb, dcc, dop, dcol,
+             jnp.zeros((NFIELD - 10, CHUNK), jnp.float32)],
+            axis=0,
+        )                                                  # [16, CHUNK]
+        gbuf[:] = gout
+        off = pl.multiple_of(start + q * CHUNK, CHUNK)
+        copy_out = pltpu.make_async_copy(
+            gbuf, grads_out.at[:, pl.ds(off, CHUNK)], gsem
+        )
+        copy_out.start()
+        copy_out.wait()
+
+        U_next = P[:, CHUNK - 1:]
+        W_next = dlW[:, CHUNK - 1:]
+        return q + 1, U_next, W_next
+
+    init = (
+        jnp.int32(0),
+        jnp.ones((px_n, 1), jnp.float32),
+        jnp.zeros((px_n, 1), jnp.float32),
+    )
+    jax.lax.while_loop(cond, body, init)
+
+
+def forward(cfg, pair_gauss, pair_tile, tile_start, tile_stop,
+            means2d, conic, opacity, color, depth):
+    """Pallas forward. Returns tiled (C [T,PX,3], D [T,PX], T, n_con)."""
+    pgp, pad_start, count, mpp = _align_layout(cfg, pair_gauss, pair_tile,
+                                               tile_start, tile_stop)
+    fields = _gather_fields(pgp, means2d, conic, opacity, color, depth)
+
+    nt, px_n = cfg.num_tiles, cfg.tile_px
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=[
+            pl.BlockSpec((1, 4, px_n), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, px_n), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, px_n), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, NFIELD, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    cd, t_fin, ncon = pl.pallas_call(
+        functools.partial(_forward_kernel, cfg),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, 4, px_n), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 1, px_n), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 1, px_n), jnp.int32),
+        ],
+        interpret=cfg.interpret,
+    )(pad_start, count, fields)
+    C = jnp.moveaxis(cd[:, :3, :], 1, 2)        # [T, PX, 3]
+    D = cd[:, 3, :]
+    return C, D, t_fin[:, 0, :], ncon[:, 0, :]
+
+
+def backward(cfg, pair_gauss, pair_tile, tile_start, tile_stop,
+             means2d, conic, opacity, color, depth, bg,
+             final_T_t, n_con_t, dL_dpix_t, dL_dpixd_t, C_t, D_t):
+    """Pallas backward. ``C_t``/``D_t``: the forward's pre-background
+    color/depth sums (saved residuals) — used for the total−prefix suffix
+    trick. ``n_con_t`` is unused: the composite gate is recomputed from P."""
+    del n_con_t
+    pgp, pad_start, count, mpp = _align_layout(cfg, pair_gauss, pair_tile,
+                                               tile_start, tile_stop)
+    fields = _gather_fields(pgp, means2d, conic, opacity, color, depth)
+
+    nt, px_n = cfg.num_tiles, cfg.tile_px
+    dl = jnp.concatenate(
+        [jnp.moveaxis(dL_dpix_t, 2, 1), dL_dpixd_t[:, None, :]], axis=1
+    )                                                     # [T, 4, PX]
+    sigma_dot = jnp.sum(C_t * dL_dpix_t, axis=-1) + D_t * dL_dpixd_t  # [T, PX]
+    bg_dot = (dL_dpix_t @ bg) + cfg.z_far * dL_dpixd_t                # [T, PX]
+    bgdot_full = sigma_dot + final_T_t * bg_dot                       # [T, PX]
+
+    grads_zero = jnp.zeros((NFIELD, fields.shape[1]), jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),                   # fields
+            pl.BlockSpec((1, 4, px_n), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),                  # dl
+            pl.BlockSpec((1, 1, px_n), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),                  # bgdot'
+            pl.BlockSpec(memory_space=pltpu.HBM),                   # grads in
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        scratch_shapes=[
+            pltpu.VMEM((2, NFIELD, CHUNK), jnp.float32),
+            pltpu.VMEM((NFIELD, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    pair_grads = pl.pallas_call(
+        functools.partial(_backward_kernel, cfg),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((NFIELD, fields.shape[1]), jnp.float32)],
+        input_output_aliases={5: 0},
+        interpret=cfg.interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(pad_start, count, fields, dl, bgdot_full[:, None, :], grads_zero)[0]
+
+    # segment-sum pair grads by Gaussian id (deterministic, atomics-free)
+    P = means2d.shape[0]
+    ok = (pgp >= 0) & (pgp < P)
+    seg = jnp.where(ok, pgp, P)
+    sums = jax.ops.segment_sum(pair_grads.T, seg, num_segments=P + 1)[:P]
+    dm = sums[:, 0:2]
+    dc = sums[:, 2:5]
+    do = sums[:, 5]
+    dcol = sums[:, 6:9]
+    dd = sums[:, 9]
+    dbg = jnp.einsum("tp,tpc->c", final_T_t, dL_dpix_t)
+    return dm, dc, do, dcol, dd, dbg

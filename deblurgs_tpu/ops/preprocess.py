@@ -83,34 +83,35 @@ def compute_cov2d(
     tx = jnp.clip(p_view[..., 0] / tz, -limx, limx) * tz
     ty = jnp.clip(p_view[..., 1] / tz, -limy, limy) * tz
 
+    # view-space covariance M = R Σ R^T as a per-camera linear map on the
+    # 6 packed entries: M6 = Σ6 @ K with K [6, 6] built from six tiny 3×3
+    # products (once per camera) — the per-Gaussian work is one [P, 6] @
+    # [6, 6] MXU matmul instead of batched 3×3 matmuls.
+    R = jnp.swapaxes(cam.view[..., :3, :3], -1, -2)  # world→view rotation
+
+    def pack6(m):
+        return jnp.stack([m[..., 0, 0], m[..., 0, 1], m[..., 0, 2],
+                          m[..., 1, 1], m[..., 1, 2], m[..., 2, 2]], -1)
+
+    basis = jnp.zeros((6, 3, 3), cov6.dtype)
+    for k, (i, j) in enumerate([(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]):
+        basis = basis.at[k, i, j].set(1.0)
+        if i != j:
+            basis = basis.at[k, j, i].set(1.0)
+    K = pack6(jnp.einsum("ij,kjl,ml->kim", R, basis, R))   # [6(in), 6(out)]
+    M6 = cov6 @ K                                           # [P, 6]
+    M00, M01, M02, M11, M12, M22 = (M6[..., i] for i in range(6))
+
+    # projective part elementwise: J2 = (fx/tz)·(1,0,-u) ; (fy/tz)·(0,1,-v)
     fx, fy = cs.focal_x, cs.focal_y
-    inv_z = 1.0 / tz
-    inv_z2 = inv_z * inv_z
-    zero = jnp.zeros_like(tz)
-    # J2 = d(image_xy)/d(view_xyz) — [..., 2, 3]
-    J2 = jnp.stack(
-        [
-            jnp.stack([fx * inv_z, zero, -fx * tx * inv_z2], axis=-1),
-            jnp.stack([zero, fy * inv_z, -fy * ty * inv_z2], axis=-1),
-        ],
-        axis=-2,
-    )
-    # world→view rotation: view is the transposed W2V, so R = view[:3,:3]^T
-    R = jnp.swapaxes(cam.view[..., :3, :3], -1, -2)
-    xx, xy, xz, yy, yz, zz = (cov6[..., i] for i in range(6))
-    sigma = jnp.stack(
-        [
-            jnp.stack([xx, xy, xz], -1),
-            jnp.stack([xy, yy, yz], -1),
-            jnp.stack([xz, yz, zz], -1),
-        ],
-        axis=-2,
-    )
-    JR = J2 @ R  # broadcasts R over the Gaussian axis
-    cov = JR @ sigma @ jnp.swapaxes(JR, -1, -2)
-    return jnp.stack(
-        [cov[..., 0, 0] + 0.3, cov[..., 0, 1], cov[..., 1, 1] + 0.3], axis=-1
-    )
+    u = tx / tz
+    v = ty / tz
+    a0 = fx / tz
+    b0 = fy / tz
+    cov_xx = a0 * a0 * (M00 - 2 * u * M02 + u * u * M22) + 0.3
+    cov_xy = a0 * b0 * (M01 - v * M02 - u * M12 + u * v * M22)
+    cov_yy = b0 * b0 * (M11 - 2 * v * M12 + v * v * M22) + 0.3
+    return jnp.stack([cov_xx, cov_xy, cov_yy], axis=-1)
 
 
 def compute_rect(

@@ -289,24 +289,24 @@ def _xla_backward(cfg, pair_gauss, tile_start, tile_stop,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def blend(cfg: BlendConfig, pair_gauss, tile_start, tile_stop,
+def blend(cfg: BlendConfig, pair_gauss, pair_tile, tile_start, tile_stop,
           means2d, conic, opacity, color, depth, bg):
     """Composite sorted pairs into an image.
 
     Returns (image [H, W, 3], depth_img [H, W], final_T [H, W], n_contrib [H, W]).
     """
-    out, _ = _blend_fwd(cfg, pair_gauss, tile_start, tile_stop,
+    out, _ = _blend_fwd(cfg, pair_gauss, pair_tile, tile_start, tile_stop,
                         means2d, conic, opacity, color, depth, bg)
     return out
 
 
-def _blend_fwd(cfg, pair_gauss, tile_start, tile_stop,
+def _blend_fwd(cfg, pair_gauss, pair_tile, tile_start, tile_stop,
                means2d, conic, opacity, color, depth, bg):
     if cfg.backend == "pallas":
         from deblurgs_tpu.ops import pallas_blend
 
         C, D, T, n_con = pallas_blend.forward(
-            cfg, pair_gauss, tile_start, tile_stop,
+            cfg, pair_gauss, pair_tile, tile_start, tile_stop,
             means2d, conic, opacity, color, depth)
     else:
         C, D, T, n_con = _xla_forward(
@@ -320,14 +320,15 @@ def _blend_fwd(cfg, pair_gauss, tile_start, tile_stop,
         tiles_to_image(cfg, T),
         tiles_to_image(cfg, n_con),
     )
-    res = (pair_gauss, tile_start, tile_stop,
-           means2d, conic, opacity, color, depth, bg, T, n_con)
+    res = (pair_gauss, pair_tile, tile_start, tile_stop,
+           means2d, conic, opacity, color, depth, bg, T, n_con, C, D)
     return out, res
 
 
 def _blend_bwd(cfg, res, cot):
-    (pair_gauss, tile_start, tile_stop,
-     means2d, conic, opacity, color, depth, bg, final_T_t, n_con_t) = res
+    (pair_gauss, pair_tile, tile_start, tile_stop,
+     means2d, conic, opacity, color, depth, bg, final_T_t, n_con_t,
+     C_t, D_t) = res
     dL_dimage, dL_ddepth, _dT, _dn = cot
     dL_dpix_t = image_to_tiles(cfg, dL_dimage)
     dL_dpixd_t = image_to_tiles(cfg, dL_ddepth)
@@ -336,9 +337,9 @@ def _blend_bwd(cfg, res, cot):
         from deblurgs_tpu.ops import pallas_blend
 
         dm, dc, do, dcol, dd, dbg = pallas_blend.backward(
-            cfg, pair_gauss, tile_start, tile_stop,
+            cfg, pair_gauss, pair_tile, tile_start, tile_stop,
             means2d, conic, opacity, color, depth, bg,
-            final_T_t, n_con_t, dL_dpix_t, dL_dpixd_t)
+            final_T_t, n_con_t, dL_dpix_t, dL_dpixd_t, C_t, D_t)
     else:
         dm, dc, do, dcol, dd, dbg = _xla_backward(
             cfg, pair_gauss, tile_start, tile_stop,
@@ -346,7 +347,8 @@ def _blend_bwd(cfg, res, cot):
             final_T_t, n_con_t, dL_dpix_t, dL_dpixd_t)
 
     int_zero = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
-    return (int_zero(pair_gauss), int_zero(tile_start), int_zero(tile_stop),
+    return (int_zero(pair_gauss), int_zero(pair_tile),
+            int_zero(tile_start), int_zero(tile_stop),
             dm, dc, do, dcol, dd, dbg)
 
 
@@ -356,5 +358,6 @@ blend.defvjp(_blend_fwd, _blend_bwd)
 def blend_from_binning(cfg: BlendConfig, binning: Binning,
                        means2d, conic, opacity, color, depth, bg):
     """Convenience wrapper taking a :class:`Binning`."""
-    return blend(cfg, binning.pair_gauss, binning.tile_start, binning.tile_stop,
+    return blend(cfg, binning.pair_gauss, binning.pair_tile,
+                 binning.tile_start, binning.tile_stop,
                  means2d, conic, opacity, color, depth, bg)
