@@ -1,0 +1,82 @@
+"""Benchmark: sub-frame renders/s/chip at 1080p (BASELINE.md headline metric).
+
+Renders a fixed-seed synthetic scene (100k Gaussians, 1920x1080, SH degree
+2) with the Pallas tile rasterizer on the available accelerator and reports
+forward sub-frame renders per second. ``vs_baseline`` normalizes against a
+nominal 100 renders/s for the reference CUDA rasterizer on A100 at a
+comparable scene scale (the reference repo publishes no numbers —
+BASELINE.md; target is >= 2.0 on v5p).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import math
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+A100_BASELINE_RENDERS_PER_S = 100.0
+
+
+def build_scene(n=100_000, width=1920, height=1080):
+    from deblurgs_tpu.core import camera as cam_lib
+    from deblurgs_tpu.core import lie
+
+    fovx = 1.2
+    fovy = 2 * math.atan(math.tan(fovx / 2) * height / width)
+    cs = cam_lib.CameraStatic(width=width, height=height,
+                              tanfovx=math.tan(fovx / 2),
+                              tanfovy=math.tan(fovy / 2))
+    proj = cam_lib.get_projection_matrix(0.01, 100.0, fovx, fovy)
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    means = jax.random.normal(ks[0], (n, 3)) * 2.0
+    scales = jnp.exp(jax.random.uniform(ks[1], (n, 3), minval=math.log(0.004),
+                                        maxval=math.log(0.04)))
+    q = jax.random.normal(ks[2], (n, 4))
+    rots = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    opac = jax.random.uniform(ks[3], (n,), minval=0.1, maxval=0.95)
+    shs = jax.random.normal(ks[4], (n, 9, 3)) * 0.3
+    rot = lie.so3_exp_map(jnp.zeros((1, 3)))[0]
+    center = jnp.array([0.0, 0.0, -6.0])
+    cam = cam_lib.make_camera_arrays(cam_lib.c2w_to_view(rot, center), proj)
+    return (means, scales, rots, opac, shs), cam, cs
+
+
+def main():
+    platform = jax.devices()[0].platform
+    backend = "pallas" if platform != "cpu" else "xla"
+    n = 100_000 if platform != "cpu" else 2_000
+    width, height = (1920, 1080) if platform != "cpu" else (320, 180)
+
+    from deblurgs_tpu.ops.rasterize import RasterizeConfig, render
+
+    gauss, cam, cs = build_scene(n=n, width=width, height=height)
+    cfg = RasterizeConfig(backend=backend, max_pairs=1 << 19, k_max=2048)
+    bg = jnp.zeros(3)
+
+    fn = jax.jit(lambda *a: render(*a, cam, cs, bg, cfg=cfg, sh_degree=2).image)
+    img = fn(*gauss)
+    jax.block_until_ready(img)
+
+    iters = 30 if platform != "cpu" else 3
+    t0 = time.time()
+    for _ in range(iters):
+        img = fn(*gauss)
+    jax.block_until_ready(img)
+    dt = (time.time() - t0) / iters
+    renders_per_s = 1.0 / dt
+
+    print(json.dumps({
+        "metric": f"subframe_renders_per_s_{width}x{height}_{n // 1000}k",
+        "value": round(renders_per_s, 2),
+        "unit": "renders/s/chip",
+        "vs_baseline": round(renders_per_s / A100_BASELINE_RENDERS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

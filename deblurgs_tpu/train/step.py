@@ -27,6 +27,7 @@ from deblurgs_tpu.models import gaussians as gm
 from deblurgs_tpu.models import motion as motion_lib
 from deblurgs_tpu.models import tonemap
 from deblurgs_tpu.ops.rasterize import RasterizeConfig, render
+from deblurgs_tpu.parallel import shard as shard_lib
 from deblurgs_tpu.train import losses, optim, schedules
 from deblurgs_tpu.train.config import OptimizationConfig
 
@@ -55,6 +56,7 @@ class TrainStatics:
     tone_mapping: str = "gamma"
     spatial_lr_scale: float = 1.0
     random_sample: bool = False
+    mesh: object = None        # jax.sharding.Mesh → shard the sub-frame axis
 
 
 class StepMetrics(NamedTuple):
@@ -114,21 +116,33 @@ def train_step(state: TrainState, gt_image: jax.Array, cam_idx: jax.Array,
     def loss_fn(params, motion_params, vsp):
         rin = gm.render_inputs(params, gcfg)
         cams = motion_lib.subframe_cameras(motion_params, cam_idx, nu, proj, mcfg)
+        replicated = (rin, state.aux.active, bg)
 
-        def one(args):
+        def one(rep, args):
+            rin_r, active_r, bg_r = rep
             cam, vsp_i = args
             out = render(
-                rin["means3d"], rin["scales"], rin["rotations"],
-                rin["opacities"], rin["shs"], cam, st.cs, bg,
+                rin_r["means3d"], rin_r["scales"], rin_r["rotations"],
+                rin_r["opacities"], rin_r["shs"], cam, st.cs, bg_r,
                 cfg=st.rcfg, sh_degree=st.sh_degree,
-                active=state.aux.active, vsp=vsp_i,
+                active=active_r, vsp=vsp_i,
             )
             return (out.image, out.depth, out.radii,
                     out.num_pairs, out.max_per_tile)
 
-        images, depths, radii, num_pairs, max_per_tile = jax.lax.map(
-            one, (cams, vsp)
-        )
+        if st.mesh is not None:
+            # sub-frames shard across the mesh; each device maps its block
+            # sequentially (parallel/shard.py)
+            assert st.n_sub % st.mesh.size == 0, (
+                f"n_sub={st.n_sub} must divide over {st.mesh.size} devices")
+            images, depths, radii, num_pairs, max_per_tile = (
+                shard_lib.sharded_subframe_render(one, st.mesh)(
+                    replicated, cams, vsp)
+            )
+        else:
+            images, depths, radii, num_pairs, max_per_tile = jax.lax.map(
+                lambda args: one(replicated, args), (cams, vsp)
+            )
         blurred = jnp.mean(images, axis=0)
 
         l1 = losses.l1_loss(blurred, gt_linear)
