@@ -1,0 +1,124 @@
+"""Reflection-based argparse groups — reference ``arguments/__init__.py``.
+
+``ParamGroup`` turns dataclass-style attribute defaults into ``--flags``
+(leading underscore = one-letter shorthand), and ``get_combined_args``
+round-trips persisted run configs (``cfg_args``) for the eval-time tools,
+exactly like the reference (``arguments/__init__.py:19-145``).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from argparse import ArgumentParser, Namespace
+
+
+class GroupParams:
+    pass
+
+
+class ParamGroup:
+    def __init__(self, parser: ArgumentParser, name: str, fill_none=False):
+        group = parser.add_argument_group(name)
+        for key, value in vars(self).items():
+            shorthand = False
+            if key.startswith("_"):
+                shorthand = True
+                key = key[1:]
+            t = type(value)
+            value = value if not fill_none else None
+            args = ["--" + key] + (["-" + key[0:1]] if shorthand else [])
+            if t == bool:
+                group.add_argument(*args, default=value, action="store_true")
+            else:
+                group.add_argument(*args, default=value, type=t)
+
+    def extract(self, args):
+        group = GroupParams()
+        for k, v in vars(args).items():
+            if k in vars(self) or ("_" + k) in vars(self):
+                setattr(group, k, v)
+        return group
+
+
+class ModelParams(ParamGroup):
+    """Reference ``ModelParams`` (``arguments/__init__.py:47-88``)."""
+
+    def __init__(self, parser, sentinel=False):
+        self.sh_degree = 2
+        self._source_path = ""
+        self._model_path = ""
+        self._images = "images"
+        self._resolution = -1
+        self._white_background = False
+        self.eval = False
+        self.llffhold = 0
+        self.num_initial_pcd = -1
+
+        self.num_subframes = 21
+        self.curve_order = 9
+        self.curve_type = "se3"
+
+        self.z_near = 0.2
+        self.z_far = 100.0
+
+        self.random_init = False
+        self.alpha_lower_bound = 0.0
+        self.scale_lb = 0.0
+        self.scale_ub = -1.0
+        self.tone_mapping_type = "gamma"
+        self.activation = "relu"
+        self.use_isotrophic = False
+        self.curve_random_sample = False
+
+        # TPU-framework additions
+        self.backend = "pallas"       # "pallas" | "xla" | "oracle"
+        self.max_pairs = 1 << 19
+        self.tile = 16
+
+        super().__init__(parser, "Loading Parameters", sentinel)
+
+    def extract(self, args):
+        g = super().extract(args)
+        g.source_path = os.path.abspath(g.source_path)
+        return g
+
+
+class OptimizationParams(ParamGroup):
+    """Reference ``OptimizationParams`` (``arguments/__init__.py:90-123``)."""
+
+    def __init__(self, parser):
+        from deblurgs_tpu.train.config import OptimizationConfig
+
+        for field, value in vars(OptimizationConfig()).items():
+            setattr(self, field, value)
+        super().__init__(parser, "Optimization Parameters")
+
+
+def get_combined_args(parser: ArgumentParser) -> Namespace:
+    """CLI args merged over the persisted ``cfg_args`` (reference ``:125-145``)."""
+    cmdline = sys.argv[1:]
+    args_cmdline = parser.parse_args(cmdline)
+    cfgfile_string = "Namespace()"
+    try:
+        cfgfilepath = os.path.join(args_cmdline.model_path, "cfg_args")
+        with open(cfgfilepath) as cfg_file:
+            cfgfile_string = cfg_file.read()
+    except (TypeError, FileNotFoundError):
+        pass
+    args_cfgfile = eval(cfgfile_string)
+    merged = vars(args_cfgfile).copy()
+    for k, v in vars(args_cmdline).items():
+        if v is not None:
+            merged[k] = v
+    return Namespace(**merged)
+
+
+def write_run_config(args, model_path: str):
+    """Persist ``args.txt`` + ``cfg_args`` (reference ``train.py:236-247``)."""
+    os.makedirs(model_path, exist_ok=True)
+    with open(os.path.join(model_path, "args.txt"), "w") as fp:
+        for k, v in args.__dict__.items():
+            print(k, ":", v, file=fp)
+    with open(os.path.join(model_path, "cfg_args"), "w") as fp:
+        fp.write(str(Namespace(**vars(args))))

@@ -1,0 +1,235 @@
+"""Host training loop — reference ``train.py:35-233`` re-architected.
+
+The device does one jitted step; the host handles everything the reference
+does between steps *without* leaving Python control flow inside the step:
+
+- phase switching: sharp warm-up (n_sub=1, curve frozen) → blur synthesis
+  (all sub-frames) at ``curve_start_iter`` — a different static sub-frame
+  count, so a second compiled variant;
+- SH degree bump every 1000 iterations (reference ``train.py:121-123``) —
+  compiled variant per degree;
+- ``random_sample_until`` jitter cutoff — static flag flip;
+- **capacity management** (the static-shape answer to the reference's
+  dynamic tensor growth): when densification reports dropped insertions,
+  the host doubles the Gaussian capacity, pads every [P, ...] leaf and
+  re-jits; when the pair count approaches ``max_pairs``, the pair capacity
+  bucket doubles likewise;
+- saving cadence (PLY snapshots, cm motion file, full checkpoints),
+  metrics logging with EMA postfix, ``time.txt``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deblurgs_tpu.data.gaussian_ply import save_gaussian_ply
+from deblurgs_tpu.data.scene import Scene
+from deblurgs_tpu.models import gaussians as gm
+from deblurgs_tpu.models import motion as motion_lib
+from deblurgs_tpu.ops.rasterize import RasterizeConfig
+from deblurgs_tpu.train import checkpoint as ckpt_lib
+from deblurgs_tpu.train import step as step_lib
+from deblurgs_tpu.train.config import OptimizationConfig
+
+
+class EmaLogger:
+    """EMA-smoothed metric printer (reference ``utils/logger.py``)."""
+
+    def __init__(self, ema_weight: float = 0.6, print_fn=print):
+        self.ema_weight = ema_weight
+        self.values: dict = {}
+        self.print_fn = print_fn
+
+    def update(self, metrics: dict):
+        for k, v in metrics.items():
+            v = float(v) if not isinstance(v, (int,)) else v
+            if k in self.values:
+                w = self.ema_weight
+                self.values[k] = w * self.values[k] + (1 - w) * v
+            else:
+                self.values[k] = v
+
+    def show(self, step: int):
+        parts = [f"it {step}"]
+        for k, v in self.values.items():
+            parts.append(f"{k}={v:.5g}")
+        self.print_fn("  ".join(parts))
+
+
+def grow_capacity(state: step_lib.TrainState, new_capacity: int
+                  ) -> step_lib.TrainState:
+    """Pad every per-Gaussian leaf (params, aux, Adam moments) to a larger
+    static capacity. New slots are inactive with identity rotation."""
+    old = state.params.xyz.shape[0]
+    assert new_capacity > old
+
+    def pad(x, fill=0.0):
+        extra = jnp.full((new_capacity - old,) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, extra], axis=0)
+
+    params = gm.GaussianParams(*[pad(leaf) for leaf in state.params])
+    params = params._replace(rotation=params.rotation.at[old:, 0].set(1.0))
+    aux = gm.GaussianAux(
+        active=pad(state.aux.active, False),
+        max_radii2d=pad(state.aux.max_radii2d),
+        xyz_grad_accum=pad(state.aux.xyz_grad_accum),
+        denom=pad(state.aux.denom),
+    )
+    adam = state.adam_g._replace(
+        mu=gm.GaussianParams(*[pad(leaf) for leaf in state.adam_g.mu]),
+        nu=gm.GaussianParams(*[pad(leaf) for leaf in state.adam_g.nu]),
+    )
+    return state._replace(params=params, aux=aux, adam_g=adam)
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Owns the compiled-step cache and runs the full DeblurGS schedule."""
+
+    scene: Scene
+    gcfg: gm.GaussianConfig
+    mcfg: motion_lib.MotionConfig
+    ocfg: OptimizationConfig
+    rcfg: RasterizeConfig
+    tone_mapping: str = "gamma"
+    model_path: Optional[str] = None
+    save_iterations: tuple = (50_000, 100_000, 150_000)
+    checkpoint_iterations: tuple = ()
+    log_every: int = 10
+    on_metrics: Optional[Callable] = None
+
+    def __post_init__(self):
+        self._step_cache: dict = {}
+        self.logger = EmaLogger()
+        self._gts = jnp.asarray(self.scene.train_images)
+        self._proj = jnp.asarray(self.scene.proj)
+        self.training_time_sec = 0.0
+
+    # -- compiled-step cache keyed by the static configuration ------------
+    def _get_step(self, sh_degree: int, n_sub: int, random_sample: bool,
+                  capacity: int, rcfg: RasterizeConfig, mesh=None):
+        key = (sh_degree, n_sub, random_sample, capacity, rcfg, mesh)
+        if key not in self._step_cache:
+            st = step_lib.TrainStatics(
+                gcfg=self.gcfg, mcfg=self.mcfg, ocfg=self.ocfg, rcfg=rcfg,
+                cs=self.scene.camera_static, sh_degree=sh_degree,
+                n_sub=n_sub, tone_mapping=self.tone_mapping,
+                spatial_lr_scale=float(self.scene.cameras_extent),
+                random_sample=random_sample, mesh=mesh,
+            )
+            self._step_cache[key] = step_lib.make_train_step(st)
+        return self._step_cache[key]
+
+    def init_state(self, key=None, load_path: str | None = None,
+                   load_motion_path: str | None = None,
+                   start_checkpoint: str | None = None,
+                   capacity: int | None = None) -> tuple[step_lib.TrainState, int]:
+        key = key if key is not None else jax.random.PRNGKey(0)
+        pcd = self.scene.info.point_cloud
+        n0 = pcd.points.shape[0]
+        capacity = capacity or max(1 << int(np.ceil(np.log2(max(n0 * 2, 1024)))),
+                                   1024)
+        if load_path:
+            from deblurgs_tpu.data.gaussian_ply import load_gaussian_ply
+
+            it = Scene.search_max_iteration(os.path.join(load_path, "point_cloud"))
+            params, aux = load_gaussian_ply(
+                os.path.join(load_path, "point_cloud", f"iteration_{it}",
+                             "point_cloud.ply"), self.gcfg, capacity)
+        else:
+            params, aux = gm.create_from_pcd(
+                jnp.asarray(pcd.points), jnp.asarray(pcd.colors),
+                self.gcfg, capacity)
+
+        if load_motion_path:
+            motion = ckpt_lib.load_motion(load_motion_path)
+        else:
+            motion = motion_lib.init_motion(
+                jnp.asarray(self.scene.rotations, jnp.float32),
+                jnp.asarray(self.scene.centers, jnp.float32),
+                self.mcfg, jax.random.fold_in(key, 1))
+
+        state = step_lib.init_state(params, motion, aux,
+                                    jax.random.fold_in(key, 2))
+        first_iter = 1
+        if start_checkpoint:
+            state = ckpt_lib.load_checkpoint(start_checkpoint, state)
+            first_iter = int(state.step)
+        return state, first_iter
+
+    def phase_statics(self, iteration: int):
+        """(sh_degree, n_sub, random_sample) for this iteration."""
+        sh_degree = min(iteration // 1000, self.gcfg.sh_degree)
+        n_sub = (self.mcfg.n_subframes
+                 if iteration >= self.ocfg.curve_start_iter else 1)
+        random_sample = (self.mcfg.curve_random_sample
+                         and iteration < self.ocfg.random_sample_until)
+        return sh_degree, n_sub, random_sample
+
+    def train(self, state: step_lib.TrainState, first_iter: int = 1,
+              iterations: int | None = None, mesh=None) -> step_lib.TrainState:
+        iterations = iterations or self.ocfg.iterations
+        rcfg = self.rcfg
+        for iteration in range(first_iter, iterations + 1):
+            t0 = time.time()
+            sh_degree, n_sub, random_sample = self.phase_statics(iteration)
+            capacity = state.params.xyz.shape[0]
+            fn = self._get_step(sh_degree, n_sub, random_sample,
+                                capacity, rcfg, mesh)
+
+            cam_idx = self.scene.get_random_cam_idx()
+            state, metrics = fn(state, self._gts[cam_idx],
+                                jnp.int32(cam_idx), self._proj)
+
+            # ---- capacity management (host-side re-jit triggers)
+            if int(metrics.densify.n_dropped) > 0:
+                new_cap = capacity * 2
+                print(f"[capacity] {capacity} → {new_cap} "
+                      f"(dropped {int(metrics.densify.n_dropped)})")
+                state = grow_capacity(state, new_cap)
+            if int(metrics.num_pairs) > 0.85 * rcfg.max_pairs:
+                rcfg = dataclasses.replace(rcfg, max_pairs=rcfg.max_pairs * 2)
+                print(f"[pairs] max_pairs → {rcfg.max_pairs}")
+            if (rcfg.backend == "xla"
+                    and int(metrics.max_per_tile) > rcfg.k_max):
+                rcfg = dataclasses.replace(rcfg, k_max=rcfg.k_max * 2)
+                print(f"[pairs] k_max → {rcfg.k_max}")
+
+            self.training_time_sec += time.time() - t0
+
+            self.logger.update({
+                "l1": metrics.l1, "smooth": metrics.t_smooth,
+                "hinge": metrics.hinge, "psnr": metrics.psnr,
+                "#pts": int(metrics.num_active),
+            })
+            if iteration % self.log_every == 0:
+                self.logger.show(iteration)
+            if self.on_metrics is not None:
+                self.on_metrics(iteration, metrics)
+
+            if self.model_path and iteration in self.save_iterations:
+                self.save_snapshot(state, iteration)
+            if self.model_path and iteration in self.checkpoint_iterations:
+                ckpt_lib.save_checkpoint(
+                    os.path.join(self.model_path, f"chkpnt{iteration}.npz"),
+                    state)
+
+        if self.model_path:
+            with open(os.path.join(self.model_path, "time.txt"), "w") as fp:
+                print(f"Training Time = {self.training_time_sec:7.5f}sec",
+                      file=fp)
+        return state
+
+    def save_snapshot(self, state: step_lib.TrainState, iteration: int):
+        pc_dir = self.scene.point_cloud_dir(iteration)
+        save_gaussian_ply(os.path.join(pc_dir, "point_cloud.ply"),
+                          state.params, state.aux, self.gcfg)
+        ckpt_lib.save_motion(os.path.join(self.model_path, "cm.npz"),
+                             state.motion)
