@@ -1,0 +1,111 @@
+"""iNeRF-style test-pose refinement (reference ``test.py:39-186``).
+
+After curve optimization the trained scene's world frame has drifted from
+the COLMAP frame, so held-out poses must be re-fit before scoring: per test
+view, a unit quaternion + translation parameterize the view matrix, and an
+Adam loop minimizes the L1 photometric error of the (tone-mapped, clamped)
+render against the ground truth — gradients flow through the rasterizer's
+camera-matrix path exactly as in training.
+
+Reference hyperparameters: lr 5e-5 (rot) / 5e-4 (trans), Adam eps 1e-15,
+StepLR ×0.9 every ``num_iter//20`` epochs, one epoch = one step per view.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from deblurgs_tpu.core import transforms as tf
+from deblurgs_tpu.core.camera import CameraArrays, make_camera_arrays
+from deblurgs_tpu.models import gaussians as gm
+from deblurgs_tpu.models import tonemap as tm
+from deblurgs_tpu.models.motion import _rotmat_to_quat
+from deblurgs_tpu.ops.rasterize import render
+from deblurgs_tpu.train import optim
+from deblurgs_tpu.train.losses import l1_loss
+
+
+class PoseParams(NamedTuple):
+    quat: jax.Array    # [n, 4] (w,x,y,z) — c2w rotation
+    trans: jax.Array   # [n, 3] — w2c translation
+
+
+def init_pose_params(rotations: jax.Array, translations: jax.Array) -> PoseParams:
+    """rotations: [n,3,3] c2w; translations: [n,3] w2c (CameraInfo R/T)."""
+    return PoseParams(quat=_rotmat_to_quat(rotations),
+                      trans=jnp.asarray(translations, jnp.float32))
+
+
+def pose_to_camera(params: PoseParams, idx, proj: jax.Array) -> CameraArrays:
+    """Build the differentiable view matrix (reference ``OptimPoseModel.forward``:
+    ``view[:3,:3] = rotmat``, ``view[3,:3] = trans`` in the row-vector
+    convention)."""
+    quat = params.quat[idx] + 1e-8
+    R = tf.quat_to_rotmat(quat, normalize=True)
+    view = jnp.zeros((4, 4), jnp.float32)
+    view = view.at[:3, :3].set(R)
+    view = view.at[3, :3].set(params.trans[idx])
+    view = view.at[3, 3].set(1.0)
+    return make_camera_arrays(view, proj)
+
+
+def optimize_test_poses(
+    session,
+    gt_images: jax.Array,        # [n, H, W, 3]
+    rotations, translations,     # initial poses
+    proj: jax.Array,
+    *,
+    num_iter_per_view: int = 2000,
+    lr_rot: float = 5e-5,
+    lr_trans: float = 5e-4,
+    verbose: bool = True,
+) -> PoseParams:
+    """Refine all test poses; returns the optimized PoseParams."""
+    pose = init_pose_params(jnp.asarray(rotations, jnp.float32),
+                            jnp.asarray(translations, jnp.float32))
+    state = optim.init(pose)
+    rin = gm.render_inputs(session.params, session.gcfg)
+    cs = session.scene.camera_static
+    n = pose.quat.shape[0]
+    bg = jnp.zeros(3)
+
+    def loss_fn(pose, idx, gt):
+        cam = pose_to_camera(pose, idx, proj)
+        out = render(rin["means3d"], rin["scales"], rin["rotations"],
+                     rin["opacities"], rin["shs"], cam, cs, bg,
+                     cfg=session.rcfg, sh_degree=session.gcfg.sh_degree,
+                     active=session.aux.active)
+        img = jnp.clip(tm.tone_map(out.image, session.tone_mapping), 0.0, 1.0)
+        return l1_loss(img, gt), img
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    @jax.jit
+    def step(pose, state, idx, gt, lr_scale):
+        (loss, img), g = grad_fn(pose, idx, gt)
+        lr = PoseParams(quat=lr_rot * lr_scale, trans=lr_trans * lr_scale)
+        pose, state = optim.update(pose, g, state, lr)
+        mse = jnp.mean((img - gt) ** 2)
+        return pose, state, loss, mse
+
+    step_size = max(num_iter_per_view // 20, 1)
+    ema = 0.0
+    rng = jax.random.PRNGKey(0)
+    for epoch in range(num_iter_per_view):
+        lr_scale = jnp.float32(0.9 ** (epoch // step_size))
+        rng, k = jax.random.split(rng)
+        order = jax.random.permutation(k, n)
+        for idx in order:
+            pose, state, loss, mse = step(pose, state, idx,
+                                          gt_images[idx], lr_scale)
+            ema = 0.6 * ema + 0.4 * float(mse)
+        if verbose and epoch % 20 == 0:
+            import math
+
+            print(f"  pose-opt epoch {epoch}: "
+                  f"PSNR={20 * math.log10(1.0 / math.sqrt(max(ema, 1e-12))):6.2f}")
+    return pose
