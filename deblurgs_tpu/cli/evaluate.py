@@ -42,10 +42,12 @@ def evaluate_session(session, pose_params, gts, proj, out_dir=None,
             import matplotlib.cm as cm
 
             os.makedirs(os.path.join(out_dir, "error"), exist_ok=True)
+            import matplotlib
+
+            cmap = matplotlib.colormaps["jet"]
             imageio.imwrite(
                 os.path.join(out_dir, "error", f"{i:03d}.png"),
-                (cm.get_cmap("jet")(np.clip(err * 4, 0, 1))[..., :3]
-                 * 255).astype(np.uint8))
+                (cmap(np.clip(err * 4, 0, 1))[..., :3] * 255).astype(np.uint8))
     return m.evaluate_pairs(renders, list(np.asarray(gts)), lpips)
 
 

@@ -100,7 +100,7 @@ def depth_colorize(depths: np.ndarray, z_near=0.01, z_far=100.0,
     z_far = min(z_far, float(depths.max()),
                 float(flat[int((flat.size - 1) * clip_percentage)]))
     d = np.clip((depths - z_near) / max(z_far - z_near, 1e-9), 0.0, 1.0)
-    cmap = matplotlib.cm.get_cmap("jet_r")
+    cmap = matplotlib.colormaps["jet_r"]
     return (cmap(d)[..., :3] * 255).astype(np.uint8)
 
 

@@ -102,6 +102,8 @@ class Trainer:
     model_path: Optional[str] = None
     save_iterations: tuple = (50_000, 100_000, 150_000)
     checkpoint_iterations: tuple = ()
+    render_iterations: tuple = ()
+    visualize: bool = False
     log_every: int = 10
     on_metrics: Optional[Callable] = None
 
@@ -111,6 +113,16 @@ class Trainer:
         self._gts = jnp.asarray(self.scene.train_images)
         self._proj = jnp.asarray(self.scene.proj)
         self.training_time_sec = 0.0
+        self._visualizer = None
+
+    def _get_visualizer(self):
+        if self._visualizer is None:
+            from deblurgs_tpu.utils.visualizer import Visualizer
+
+            self._visualizer = Visualizer(
+                self.scene, self.gcfg, self.mcfg, self.rcfg,
+                self.model_path, self.ocfg.iterations)
+        return self._visualizer
 
     # -- compiled-step cache keyed by the static configuration ------------
     def _get_step(self, sh_degree: int, n_sub: int, random_sample: bool,
@@ -220,7 +232,14 @@ class Trainer:
                 ckpt_lib.save_checkpoint(
                     os.path.join(self.model_path, f"chkpnt{iteration}.npz"),
                     state)
+            if self.visualize and self.model_path:
+                self._get_visualizer().run(iteration, state)
+            if self.model_path and iteration in self.render_iterations:
+                self._get_visualizer().traj_render(iteration, state)
+                self._get_visualizer().visualize_alignment(iteration, state)
 
+        if self.visualize and self._visualizer is not None:
+            self._visualizer.save_video()
         if self.model_path:
             with open(os.path.join(self.model_path, "time.txt"), "w") as fp:
                 print(f"Training Time = {self.training_time_sec:7.5f}sec",
