@@ -162,7 +162,16 @@ def read_images_text(path) -> dict:
 
 
 def read_points3d_binary(path):
-    """-> (xyz [N,3] f64, rgb [N,3] u8, error [N,1] f64)."""
+    """-> (xyz [N,3] f64, rgb [N,3] u8, error [N,1] f64).
+
+    Uses the native single-pass parser when available (large reconstructions
+    have millions of points; the per-record Python loop is the reference's
+    approach, kept as fallback)."""
+    from deblurgs_tpu import native
+
+    out = native.parse_points3d_bin(path)
+    if out is not None:
+        return out
     buf = _Buf(open(path, "rb").read())
     (num,) = buf.unpack("Q")
     xyz = np.empty((num, 3))

@@ -128,7 +128,20 @@ def create_from_pcd(
     else:
         fused = sh_lib.rgb_to_sh(colors, use_sigmoid=False)
 
-    dist2 = jnp.maximum(knn3_mean_sq_dist(points), 1e-7)
+    # scale seeding: exact 3-NN mean squared distance (reference distCUDA2).
+    # Large clouds use the native host grid search; otherwise the on-device
+    # exact pass.
+    dist2 = None
+    if n > 50_000:
+        from deblurgs_tpu import native
+        import numpy as _np
+
+        host = native.knn3_mean_sq(_np.asarray(points))
+        if host is not None:
+            dist2 = jnp.asarray(host)
+    if dist2 is None:
+        dist2 = knn3_mean_sq_dist(points)
+    dist2 = jnp.maximum(dist2, 1e-7)
     scales = inverse_scaling(jnp.sqrt(dist2), cfg)[:, None].repeat(3, axis=1)
 
     lb = cfg.alpha_lower_bound
