@@ -1,0 +1,190 @@
+"""End-to-end DeblurGS capability validation (BASELINE.json config 2).
+
+Synthesizes motion-blurred observations from a known Gaussian scene and
+known per-image SE(3) camera trajectories, then trains from scratch (curve
+initialized at the nominal pose, like the reference initializes from COLMAP
+poses of blurry images) and measures:
+
+- blur reconstruction PSNR (train objective);
+- SHARP PSNR: renders at the held-out true mid-trajectory poses vs the true
+  sharp images — the deblurring capability itself;
+- curve recovery: translation error between learned and true trajectories.
+
+Run:  python scripts/validate_blur_recovery.py [--iters 3000] [--backend pallas]
+"""
+
+import argparse
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deblurgs_tpu.core import camera as cam_lib
+from deblurgs_tpu.core import lie
+from deblurgs_tpu.models import gaussians as gm
+from deblurgs_tpu.models import motion as motion_lib
+from deblurgs_tpu.ops.rasterize import RasterizeConfig, render
+from deblurgs_tpu.train import step as step_lib
+from deblurgs_tpu.train.config import OptimizationConfig
+from deblurgs_tpu.train.losses import psnr
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=3000)
+    ap.add_argument("--backend", type=str, default="pallas")
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--n_gauss", type=int, default=800)
+    ap.add_argument("--n_cams", type=int, default=6)
+    ap.add_argument("--n_sub", type=int, default=9)
+    ap.add_argument("--blur_scale", type=float, default=0.12,
+                    help="trajectory length (world units ~ strong blur)")
+    args = ap.parse_args()
+
+    W = H = args.size
+    fovx = 1.1
+    fovy = 2 * math.atan(math.tan(fovx / 2))
+    cs = cam_lib.CameraStatic(width=W, height=H, tanfovx=math.tan(fovx / 2),
+                              tanfovy=math.tan(fovx / 2))
+    proj = cam_lib.get_projection_matrix(0.01, 100.0, fovx, fovx)
+
+    # ---- true scene
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    pts = jax.random.normal(ks[0], (args.n_gauss, 3)) * 0.9
+    cols = jax.random.uniform(ks[1], (args.n_gauss, 3), minval=0.05, maxval=0.95)
+    gcfg = gm.GaussianConfig(sh_degree=2)
+    true_params, true_aux = gm.create_from_pcd(pts, cols, gcfg, args.n_gauss)
+    true_params = true_params._replace(
+        opacity=jnp.full_like(true_params.opacity, 0.85))
+
+    # ---- true per-image trajectories: nominal ring pose + SE(3) sweep
+    mcfg = motion_lib.MotionConfig(curve_order=9, n_subframes=args.n_sub)
+    rots, centers = [], []
+    for i in range(args.n_cams):
+        ang = 2 * math.pi * i / args.n_cams * 0.25
+        rot = lie.so3_exp_map(jnp.array([[0.15 * math.sin(ang), ang, 0.0]]))[0]
+        rots.append(rot)
+        centers.append(rot @ jnp.array([0.0, 0.0, -4.0]))
+    rots = jnp.stack(rots)
+    centers = jnp.stack(centers)
+
+    true_motion = motion_lib.init_motion(rots, centers, mcfg, ks[2],
+                                         init_noise=0.0)
+    # sweep: linear offset of the translation control points (start→end)
+    n_ctrl = mcfg.curve_order + 1
+    sweep_dir = jax.random.normal(ks[3], (args.n_cams, 1, 3))
+    sweep_dir = sweep_dir / jnp.linalg.norm(sweep_dir, axis=-1, keepdims=True)
+    tline = jnp.linspace(-0.5, 0.5, n_ctrl)[None, :, None]
+    true_motion = true_motion._replace(
+        trans_ctrl=true_motion.trans_ctrl + args.blur_scale * sweep_dir * tline,
+        rot_ctrl=true_motion.rot_ctrl
+        + 0.04 * jax.random.normal(ks[4], (args.n_cams, 1, 3)) * tline,
+    )
+
+    rcfg = RasterizeConfig(backend=args.backend, max_pairs=1 << 17, k_max=1024)
+    rin_true = gm.render_inputs(true_params, gcfg)
+
+    def render_at(cam):
+        return render(rin_true["means3d"], rin_true["scales"],
+                      rin_true["rotations"], rin_true["opacities"],
+                      rin_true["shs"], cam, cs, jnp.zeros(3),
+                      cfg=rcfg, sh_degree=2, active=true_aux.active).image
+
+    render_at_j = jax.jit(render_at)
+
+    # blurry GT (mean of uniform sub-frame renders) + sharp mid-pose GT
+    print("synthesizing ground truth...")
+    blur_gts, sharp_gts, mid_cams = [], [], []
+    nu = jnp.linspace(0.0, 1.0, args.n_sub)
+    for i in range(args.n_cams):
+        cams = motion_lib.subframe_cameras(true_motion, i, nu, proj, mcfg)
+        frames = [render_at_j(type(cams)(*[l[j] for l in cams]))
+                  for j in range(args.n_sub)]
+        blur_gts.append(jnp.mean(jnp.stack(frames), 0))
+        mid = type(cams)(*[l[args.n_sub // 2] for l in cams])
+        mid_cams.append(mid)
+        sharp_gts.append(render_at_j(mid))
+    blur_gts = jnp.stack(blur_gts)
+    sharp_gts = jnp.stack(sharp_gts)
+
+    # ---- model init: nominal poses (no trajectory knowledge), noisy points
+    init_pts = pts + 0.03 * jax.random.normal(ks[5], pts.shape)
+    params, aux = gm.create_from_pcd(init_pts, cols, gcfg,
+                                     capacity=args.n_gauss * 4)
+    motion0 = motion_lib.init_motion(rots, centers, mcfg, ks[6])
+
+    ocfg = OptimizationConfig(
+        iterations=args.iters, curve_start_iter=300,
+        densify_from_iter=500, densification_interval=200,
+        densify_until_iter=int(args.iters * 0.7),
+        opacity_reset_interval=10_000_000,
+        curve_controlpoints_lr=1e-2, curve_rotation_lr=1e-3,
+        curve_lr_half_iter=max(args.iters // 3, 500),
+        position_lr_init=0.00032, position_lr_final=0.0000032,
+    )
+    state = step_lib.init_state(params, motion0, aux, ks[7])
+
+    def sharp_psnr(state):
+        rin = gm.render_inputs(state.params, gcfg)
+        vals = []
+        for i in range(args.n_cams):
+            img = render(rin["means3d"], rin["scales"], rin["rotations"],
+                         rin["opacities"], rin["shs"], mid_cams[i], cs,
+                         jnp.zeros(3), cfg=rcfg, sh_degree=2,
+                         active=state.aux.active).image
+            vals.append(float(psnr(jnp.clip(img, 0, 1),
+                                   jnp.clip(sharp_gts[i], 0, 1))))
+        return float(np.mean(vals))
+
+    print(f"sharp PSNR at init: {sharp_psnr(state):.2f} dB")
+
+    step_cache = {}
+
+    def get_step(sh_degree, n_sub):
+        key = (sh_degree, n_sub)
+        if key not in step_cache:
+            st = step_lib.TrainStatics(
+                gcfg=gcfg, mcfg=mcfg, ocfg=ocfg, rcfg=rcfg, cs=cs,
+                sh_degree=sh_degree, n_sub=n_sub, tone_mapping="identity",
+                spatial_lr_scale=2.0)
+            step_cache[key] = step_lib.make_train_step(st)
+        return step_cache[key]
+
+    t0 = time.time()
+    for it in range(1, args.iters + 1):
+        sh_deg = min(it // 1000, gcfg.sh_degree)
+        n_sub = args.n_sub if it >= ocfg.curve_start_iter else 1
+        fn = get_step(sh_deg, n_sub)
+        idx = (it - 1) % args.n_cams
+        state, metrics = fn(state, blur_gts[idx], jnp.int32(idx), proj)
+        if it % 500 == 0 or it == args.iters:
+            tr_err = float(jnp.mean(jnp.linalg.norm(
+                state.motion.trans_ctrl - true_motion.trans_ctrl, axis=-1)))
+            print(f"it {it}: blur-l1={float(metrics.l1):.4f} "
+                  f"psnr(blur)={float(metrics.psnr):.2f} "
+                  f"sharp-psnr={sharp_psnr(state):.2f} "
+                  f"curve-trans-err={tr_err:.4f} "
+                  f"#pts={int(metrics.num_active)} "
+                  f"({(time.time()-t0):.0f}s)")
+
+    final_sharp = sharp_psnr(state)
+    tr_err = float(jnp.mean(jnp.linalg.norm(
+        state.motion.trans_ctrl - true_motion.trans_ctrl, axis=-1)))
+    init_err = float(jnp.mean(jnp.linalg.norm(
+        motion0.trans_ctrl - true_motion.trans_ctrl, axis=-1)))
+    print(f"\nFINAL: sharp PSNR {final_sharp:.2f} dB; "
+          f"curve translation error {tr_err:.4f} (init {init_err:.4f})")
+    ok = final_sharp > 24.0 and tr_err < 0.6 * init_err
+    print("VALIDATION", "PASSED" if ok else "FAILED")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
