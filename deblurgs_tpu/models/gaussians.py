@@ -193,3 +193,24 @@ def render_inputs(params: GaussianParams, cfg: GaussianConfig):
         opacities=get_opacity(params, cfg)[:, 0],
         shs=get_features(params),
     )
+
+
+def decay_opacity(params: GaussianParams, cfg: GaussianConfig,
+                  r: float) -> GaussianParams:
+    """Multiply activated opacity by r (reference ``decay_opacity``,
+    ``gaussian_model.py:460-462``)."""
+    return params._replace(
+        opacity=tf.inverse_clamp_opacity(get_opacity(params, cfg) * r))
+
+
+def light_prune(aux: GaussianAux, keep_mask: jax.Array) -> GaussianAux:
+    """Deactivate slots outside ``keep_mask`` without optimizer surgery
+    (reference ``light_prune``, ``gaussian_model.py:346-353``; with static
+    capacity this is just an active-mask intersection)."""
+    return aux._replace(active=aux.active & keep_mask)
+
+
+def one_up_sh_degree(active_degree: int, cfg: GaussianConfig) -> int:
+    """Reference ``oneupSHdegree`` — host-side since SH degree is a static
+    compile parameter here."""
+    return min(active_degree + 1, cfg.sh_degree)

@@ -131,14 +131,18 @@ def main():
     )
     state = step_lib.init_state(params, motion0, aux, ks[7])
 
+    @jax.jit
+    def _sharp_render(params, active, cam):
+        rin = gm.render_inputs(params, gcfg)
+        return render(rin["means3d"], rin["scales"], rin["rotations"],
+                      rin["opacities"], rin["shs"], cam, cs,
+                      jnp.zeros(3), cfg=rcfg, sh_degree=2,
+                      active=active).image
+
     def sharp_psnr(state):
-        rin = gm.render_inputs(state.params, gcfg)
         vals = []
         for i in range(args.n_cams):
-            img = render(rin["means3d"], rin["scales"], rin["rotations"],
-                         rin["opacities"], rin["shs"], mid_cams[i], cs,
-                         jnp.zeros(3), cfg=rcfg, sh_degree=2,
-                         active=state.aux.active).image
+            img = _sharp_render(state.params, state.aux.active, mid_cams[i])
             vals.append(float(psnr(jnp.clip(img, 0, 1),
                                    jnp.clip(sharp_gts[i], 0, 1))))
         return float(np.mean(vals))
