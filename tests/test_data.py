@@ -219,3 +219,11 @@ class TestScene:
         # iterator covers all cams each epoch
         seen = {scene.get_random_cam_idx() for _ in range(3)}
         assert seen == {0, 1, 2}
+
+
+class TestVisualizeColmap:
+    def test_sparse_viz(self, colmap_dataset, tmp_path):
+        from deblurgs_tpu.cli.visualize_colmap import visualize
+
+        out = visualize(colmap_dataset, str(tmp_path / "viz.png"))
+        assert os.path.exists(out)
