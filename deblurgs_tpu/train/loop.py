@@ -105,6 +105,7 @@ class Trainer:
     render_iterations: tuple = ()
     visualize: bool = False
     log_every: int = 10
+    sync_every: int = 10   # host-sync cadence (each sync is a device round trip)
     on_metrics: Optional[Callable] = None
 
     def __post_init__(self):
@@ -114,6 +115,7 @@ class Trainer:
         self._proj = jnp.asarray(self.scene.proj)
         self.training_time_sec = 0.0
         self._visualizer = None
+        self._pending: list = []
 
     def _get_visualizer(self):
         if self._visualizer is None:
@@ -200,31 +202,38 @@ class Trainer:
             state, metrics = fn(state, self._gts[cam_idx],
                                 jnp.int32(cam_idx), self._proj)
 
-            # ---- capacity management (host-side re-jit triggers)
-            if int(metrics.densify.n_dropped) > 0:
-                new_cap = capacity * 2
-                print(f"[capacity] {capacity} → {new_cap} "
-                      f"(dropped {int(metrics.densify.n_dropped)})")
-                state = grow_capacity(state, new_cap)
-            if int(metrics.num_pairs) > 0.85 * rcfg.max_pairs:
-                rcfg = dataclasses.replace(rcfg, max_pairs=rcfg.max_pairs * 2)
-                print(f"[pairs] max_pairs → {rcfg.max_pairs}")
-            if (rcfg.backend == "xla"
-                    and int(metrics.max_per_tile) > rcfg.k_max):
-                rcfg = dataclasses.replace(rcfg, k_max=rcfg.k_max * 2)
-                print(f"[pairs] k_max → {rcfg.k_max}")
-
+            # Host syncs are expensive (a full device round trip each);
+            # metrics stay on device and are drained in batches.
+            self._pending.append((iteration, metrics))
             self.training_time_sec += time.time() - t0
-
-            self.logger.update({
-                "l1": metrics.l1, "smooth": metrics.t_smooth,
-                "hinge": metrics.hinge, "psnr": metrics.psnr,
-                "#pts": int(metrics.num_active),
-            })
-            if iteration % self.log_every == 0:
+            if (iteration % self.sync_every == 0
+                    or iteration in self.save_iterations
+                    or iteration == iterations):
+                for it_p, m in self._pending:
+                    # ---- capacity management (host-side re-jit triggers)
+                    if int(m.densify.n_dropped) > 0:
+                        new_cap = state.params.xyz.shape[0] * 2
+                        print(f"[capacity] → {new_cap} "
+                              f"(dropped {int(m.densify.n_dropped)})")
+                        state = grow_capacity(state, new_cap)
+                    if int(m.num_pairs) > 0.85 * rcfg.max_pairs:
+                        rcfg = dataclasses.replace(
+                            rcfg, max_pairs=rcfg.max_pairs * 2)
+                        print(f"[pairs] max_pairs → {rcfg.max_pairs}")
+                    if (rcfg.backend == "xla"
+                            and int(m.max_per_tile) > rcfg.k_max):
+                        rcfg = dataclasses.replace(rcfg, k_max=rcfg.k_max * 2)
+                        print(f"[pairs] k_max → {rcfg.k_max}")
+                    self.logger.update({
+                        "l1": m.l1, "smooth": m.t_smooth,
+                        "hinge": m.hinge, "psnr": m.psnr,
+                        "#pts": int(m.num_active),
+                    })
+                    if self.on_metrics is not None:
+                        self.on_metrics(it_p, m)
+                self._pending.clear()
+            if iteration % self.log_every == 0 and self.logger.values:
                 self.logger.show(iteration)
-            if self.on_metrics is not None:
-                self.on_metrics(iteration, metrics)
 
             if self.model_path and iteration in self.save_iterations:
                 self.save_snapshot(state, iteration)

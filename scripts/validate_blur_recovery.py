@@ -97,22 +97,26 @@ def main():
                       rin_true["shs"], cam, cs, jnp.zeros(3),
                       cfg=rcfg, sh_degree=2, active=true_aux.active).image
 
-    render_at_j = jax.jit(render_at)
-
-    # blurry GT (mean of uniform sub-frame renders) + sharp mid-pose GT
+    # blurry GT (mean of uniform sub-frame renders) + sharp mid-pose GT.
+    # Everything jitted: eager op dispatch is pathologically slow through
+    # the remote-TPU tunnel.
     print("synthesizing ground truth...")
-    blur_gts, sharp_gts, mid_cams = [], [], []
     nu = jnp.linspace(0.0, 1.0, args.n_sub)
-    for i in range(args.n_cams):
+
+    @jax.jit
+    def synth(i):
         cams = motion_lib.subframe_cameras(true_motion, i, nu, proj, mcfg)
-        frames = [render_at_j(type(cams)(*[l[j] for l in cams]))
-                  for j in range(args.n_sub)]
-        blur_gts.append(jnp.mean(jnp.stack(frames), 0))
-        mid = type(cams)(*[l[args.n_sub // 2] for l in cams])
-        mid_cams.append(mid)
-        sharp_gts.append(render_at_j(mid))
-    blur_gts = jnp.stack(blur_gts)
-    sharp_gts = jnp.stack(sharp_gts)
+        frames = jax.lax.map(render_at, cams)
+        mid = jax.tree.map(lambda l: l[args.n_sub // 2], cams)
+        return frames.mean(0), render_at(mid), mid
+
+    blur_l, sharp_l, mid_cams = [], [], []
+    for i in range(args.n_cams):
+        b, sgt, mid = synth(jnp.int32(i))
+        blur_l.append(b)
+        sharp_l.append(mid_cams.append(mid) or sgt)
+    blur_gts = jnp.stack(blur_l)
+    sharp_gts = jnp.stack(sharp_l)
 
     # ---- model init: nominal poses (no trajectory knowledge), noisy points
     init_pts = pts + 0.03 * jax.random.normal(ks[5], pts.shape)
