@@ -55,17 +55,22 @@ def main():
     from deblurgs_tpu.ops.rasterize import RasterizeConfig, render
 
     gauss, cam, cs = build_scene(n=n, width=width, height=height)
-    cfg = RasterizeConfig(backend=backend, max_pairs=1 << 19, k_max=2048)
+    cfg = RasterizeConfig(backend=backend, max_pairs=1 << 20, k_max=2048)
     bg = jnp.zeros(3)
 
     fn = jax.jit(lambda *a: render(*a, cam, cs, bg, cfg=cfg, sh_degree=2).image)
     img = fn(*gauss)
     jax.block_until_ready(img)
 
+    # distinct inputs per call (the remote-execution layer value-caches
+    # repeated identical dispatches, which would fake the timing)
+    means = gauss[0]
     iters = 30 if platform != "cpu" else 3
+    variants = [(means + i * 1e-5,) + gauss[1:] for i in range(iters)]
+    jax.block_until_ready(variants)
     t0 = time.time()
-    for _ in range(iters):
-        img = fn(*gauss)
+    for i in range(iters):
+        img = fn(*variants[i])
     jax.block_until_ready(img)
     dt = (time.time() - t0) / iters
     renders_per_s = 1.0 / dt

@@ -91,19 +91,35 @@ def load_session(model_path: str, source_path: str | None = None,
 
 def render_view(session: TrainedSession, cam, *, tone_map: bool = True,
                 bg=None):
-    """Render one CameraArrays view from a loaded session → (image, depth)."""
+    """Render one CameraArrays view from a loaded session → (image, depth).
+
+    The render is jit-compiled once per session (scene state passed as
+    arguments — closure capture would inline the Gaussian tensors as HLO
+    constants and balloon compile times)."""
     import jax
 
     from deblurgs_tpu.models import tonemap as tm
     from deblurgs_tpu.ops.rasterize import render
 
-    rin = gm.render_inputs(session.params, session.gcfg)
+    key = ("_render_jit", tone_map)
+    fn = getattr(session, "_render_cache", {}).get(key)
+    if fn is None:
+        cs = session.scene.camera_static
+        rcfg, gcfg = session.rcfg, session.gcfg
+
+        @jax.jit
+        def fn(params, active, cam, bg):
+            rin = gm.render_inputs(params, gcfg)
+            out = render(rin["means3d"], rin["scales"], rin["rotations"],
+                         rin["opacities"], rin["shs"], cam, cs, bg,
+                         cfg=rcfg, sh_degree=gcfg.sh_degree, active=active)
+            img = out.image
+            if tone_map:
+                img = tm.tone_map(img, session.tone_mapping)
+            return jnp.clip(img, 0.0, 1.0), out.depth
+
+        if not hasattr(session, "_render_cache"):
+            session._render_cache = {}
+        session._render_cache[key] = fn
     bg = bg if bg is not None else jnp.zeros(3)
-    out = render(rin["means3d"], rin["scales"], rin["rotations"],
-                 rin["opacities"], rin["shs"], cam, session.scene.camera_static,
-                 bg, cfg=session.rcfg, sh_degree=session.gcfg.sh_degree,
-                 active=session.aux.active)
-    img = out.image
-    if tone_map:
-        img = tm.tone_map(img, session.tone_mapping)
-    return jnp.clip(img, 0.0, 1.0), out.depth
+    return fn(session.params, session.aux.active, cam, bg)
