@@ -158,3 +158,52 @@ class TestTrainStep:
             state, _ = fn(state, data["gts"][0], jnp.int32(0), data["proj"])
         for a, b in zip(jax.tree.leaves(state.motion), jax.tree.leaves(m0)):
             np.testing.assert_array_equal(np.asarray(a), b)
+
+    def test_curve_frozen_after_end(self):
+        data = build_synthetic(jax.random.PRNGKey(12), n_cams=2)
+        gcfg, rcfg = data["gcfg"], data["rcfg"]
+        params, aux = gm.create_from_pcd(data["pts"], data["cols"], gcfg,
+                                         capacity=64)
+        mcfg = motion_lib.MotionConfig(curve_order=3, n_subframes=4)
+        motion_params = motion_lib.init_motion(data["rots"], data["centers"],
+                                               mcfg, jax.random.PRNGKey(13))
+        ocfg = OptimizationConfig(curve_start_iter=1, curve_end_iter=1,
+                                  densify_from_iter=10_000,
+                                  opacity_reset_interval=10_000)
+        st = step_lib.TrainStatics(
+            gcfg=gcfg, mcfg=mcfg, ocfg=ocfg, rcfg=rcfg, cs=data["cs"],
+            sh_degree=1, n_sub=4, tone_mapping="identity")
+        state = step_lib.init_state(params, motion_params, aux,
+                                    jax.random.PRNGKey(14))
+        fn = step_lib.make_train_step(st)
+        m0 = jax.tree.map(lambda x: np.asarray(x).copy(), state.motion)
+        for it in range(3):
+            state, _ = fn(state, data["gts"][0], jnp.int32(0), data["proj"])
+        for a, b in zip(jax.tree.leaves(state.motion), jax.tree.leaves(m0)):
+            np.testing.assert_array_equal(np.asarray(a), b)
+
+    def test_quat_cartesian_training(self):
+        data = build_synthetic(jax.random.PRNGKey(15), n_cams=2)
+        gcfg, rcfg = data["gcfg"], data["rcfg"]
+        params, aux = gm.create_from_pcd(data["pts"], data["cols"], gcfg,
+                                         capacity=64)
+        mcfg = motion_lib.MotionConfig(curve_order=3, n_subframes=4,
+                                       curve_type="quarternion_cartesian")
+        motion_params = motion_lib.init_motion(data["rots"], data["centers"],
+                                               mcfg, jax.random.PRNGKey(16),
+                                               init_noise=0.005)
+        ocfg = OptimizationConfig(curve_start_iter=1, densify_from_iter=10_000,
+                                  opacity_reset_interval=10_000)
+        st = step_lib.TrainStatics(
+            gcfg=gcfg, mcfg=mcfg, ocfg=ocfg, rcfg=rcfg, cs=data["cs"],
+            sh_degree=1, n_sub=4, tone_mapping="identity")
+        state = step_lib.init_state(params, motion_params, aux,
+                                    jax.random.PRNGKey(17))
+        fn = step_lib.make_train_step(st)
+        m0 = np.asarray(state.motion.rot_ctrl).copy()
+        for it in range(3):
+            state, metrics = fn(state, data["gts"][0], jnp.int32(0),
+                                data["proj"])
+        assert np.isfinite(float(metrics.loss))
+        assert np.abs(np.asarray(state.motion.rot_ctrl) - m0).max() > 0
+        assert state.motion.rot_ctrl.shape[-1] == 4  # quaternion controls
