@@ -58,12 +58,15 @@ def main():
     bg = jnp.zeros(3)
 
     # two-pass pair-capacity sizing (the training loop resizes the same way)
-    probe_cfg = RasterizeConfig(backend="xla", max_pairs=1 << 20, k_max=8)
+    tile = 32 if platform != "cpu" else 16
+    probe_cfg = RasterizeConfig(backend="xla", max_pairs=1 << 20, k_max=8,
+                                tile_w=tile, tile_h=tile)
     probe = jax.jit(lambda *a: render(*a, cam, cs, bg, cfg=probe_cfg,
                                       sh_degree=2).num_pairs)
     num_pairs = int(probe(*gauss))
     max_pairs = max(int(num_pairs * 1.1) + 1023 & ~1023, 1 << 14)
-    cfg = RasterizeConfig(backend=backend, max_pairs=max_pairs, k_max=2048)
+    cfg = RasterizeConfig(backend=backend, max_pairs=max_pairs, k_max=2048,
+                          tile_w=tile, tile_h=tile)
 
     fn = jax.jit(lambda *a: render(*a, cam, cs, bg, cfg=cfg, sh_degree=2).image)
     img = fn(*gauss)
