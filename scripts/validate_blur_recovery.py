@@ -61,12 +61,21 @@ def main():
     # ---- true scene
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 8)
-    pts = jax.random.normal(ks[0], (args.n_gauss, 3)) * 0.9
-    cols = jax.random.uniform(ks[1], (args.n_gauss, 3), minval=0.05, maxval=0.95)
+    fg = jax.random.normal(ks[0], (args.n_gauss, 3)) * 0.9
+    # opaque backdrop wall so every pixel is covered — the training loop uses
+    # random backgrounds (reference behavior for real photos), which only
+    # works when the scene occludes the background everywhere
+    side = int(math.ceil(math.sqrt(args.n_gauss // 2)))
+    gx, gy = jnp.meshgrid(jnp.linspace(-4, 4, side), jnp.linspace(-4, 4, side))
+    wall = jnp.stack([gx.ravel(), gy.ravel(),
+                      jnp.full(side * side, 2.5)], axis=-1)
+    pts = jnp.concatenate([fg, wall])
+    cols = jax.random.uniform(ks[1], (pts.shape[0], 3), minval=0.05,
+                              maxval=0.95)
     gcfg = gm.GaussianConfig(sh_degree=2)
-    true_params, true_aux = gm.create_from_pcd(pts, cols, gcfg, args.n_gauss)
+    true_params, true_aux = gm.create_from_pcd(pts, cols, gcfg, pts.shape[0])
     true_params = true_params._replace(
-        opacity=jnp.full_like(true_params.opacity, 0.85))
+        opacity=jnp.full_like(true_params.opacity, 0.9))
 
     # ---- true per-image trajectories: nominal ring pose + SE(3) sweep
     mcfg = motion_lib.MotionConfig(curve_order=9, n_subframes=args.n_sub)
@@ -131,7 +140,7 @@ def main():
     # ---- model init: nominal poses (no trajectory knowledge), noisy points
     init_pts = pts + 0.03 * jax.random.normal(ks[5], pts.shape)
     params, aux = gm.create_from_pcd(init_pts, cols, gcfg,
-                                     capacity=args.n_gauss * 4)
+                                     capacity=pts.shape[0] * 4)
     motion0 = motion_lib.init_motion(rots, centers, mcfg, ks[6])
 
     ocfg = OptimizationConfig(
@@ -191,7 +200,7 @@ def main():
         fn = get_step(sh_deg, n_sub)
         idx = (it - 1) % args.n_cams
         state, metrics = fn(state, blur_gts[idx], jnp.int32(idx), proj)
-        if it % 500 == 0 or it == args.iters:
+        if it % 200 == 0 or it == args.iters:
             tr_err = traj_error(state.motion)
             print(f"it {it}: blur-l1={float(metrics.l1):.4f} "
                   f"psnr(blur)={float(metrics.psnr):.2f} "
