@@ -35,6 +35,20 @@ import jax.numpy as jnp
 from deblurgs_tpu.ops.preprocess import PreprocessOut
 
 
+def _cumsum_1d(x: jax.Array) -> jax.Array:
+    """Two-level inclusive cumsum (XLA's 1-D cumsum lowering can be slow on
+    long vectors; a [rows, 512] blocked scan + row-offset broadcast is
+    robustly fast and exact for integer inputs)."""
+    n = x.shape[0]
+    cols = 512
+    if n % cols != 0:
+        return jnp.cumsum(x)
+    within = jnp.cumsum(x.reshape(n // cols, cols), axis=1)
+    row_off = jnp.concatenate(
+        [jnp.zeros(1, x.dtype), jnp.cumsum(within[:, -1])[:-1]])
+    return (within + row_off[:, None]).reshape(-1)
+
+
 class Binning(NamedTuple):
     pair_gauss: jax.Array  # [max_pairs] int32 Gaussian index (sorted); P for invalid
     pair_tile: jax.Array   # [max_pairs] int32 tile id (sorted); num_tiles for invalid
@@ -59,7 +73,7 @@ def expand_slots(area: jax.Array, max_pairs: int):
     starts = (offsets_incl - area).astype(jnp.int32)
 
     marks = jnp.zeros(max_pairs, jnp.int32).at[starts].add(1, mode="drop")
-    gauss = jnp.cumsum(marks) - 1
+    gauss = _cumsum_1d(marks) - 1
     slots = jnp.arange(max_pairs, dtype=jnp.int32)
     valid = slots < jnp.minimum(total, max_pairs)
     gauss = jnp.clip(gauss, 0, P - 1).astype(jnp.int32)
