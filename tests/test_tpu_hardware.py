@@ -1,0 +1,62 @@
+"""Opt-in real-hardware parity tests.
+
+The main suite runs hermetically on CPU (Pallas via interpret mode). These
+run the compiled Mosaic kernels on an actual accelerator:
+
+    RUN_TPU_TESTS=1 python -m pytest tests/test_tpu_hardware.py -q
+
+(conftest's CPU pinning is bypassed via a subprocess so the accelerator
+plugin initializes normally.)
+"""
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("RUN_TPU_TESTS"),
+    reason="set RUN_TPU_TESTS=1 to run real-hardware tests",
+)
+
+_SCRIPT = textwrap.dedent("""
+    import json
+    import jax, jax.numpy as jnp, numpy as np
+    import sys
+    sys.path.insert(0, "tests")
+    from scene_factory import make_camera, make_gaussians
+    from deblurgs_tpu.ops.rasterize import RasterizeConfig, render
+
+    assert jax.devices()[0].platform != "cpu", jax.devices()
+    cam, cs, _ = make_camera(width=160, height=120)
+    means, scales, rots, opac, shs = make_gaussians(
+        jax.random.PRNGKey(0), n=2000, sh_deg=2, scale_rng=(0.01, 0.05))
+    bg = jnp.array([0.1, 0.2, 0.3])
+    outs = {}
+    for backend in ("pallas", "xla"):
+        cfg = RasterizeConfig(backend=backend, max_pairs=1 << 15, k_max=2048)
+        f = jax.jit(lambda m: render(m, scales, rots, opac, shs, cam, cs,
+                                     bg, cfg=cfg, sh_degree=2).image)
+        outs[backend] = np.asarray(f(means))
+    cfg = RasterizeConfig(backend="xla", max_pairs=1 << 15, k_max=2048)
+    out = render(means, scales, rots, opac, shs, cam, cs, bg, cfg=cfg,
+                 sh_degree=2)
+    assert int(out.max_per_tile) <= 2048, int(out.max_per_tile)
+    diff = float(np.abs(outs["pallas"] - outs["xla"]).max())
+    print(json.dumps({"max_image_diff": diff}))
+    assert diff < 1e-3, diff
+""")
+
+
+def test_pallas_matches_xla_on_device():
+    res = subprocess.run(
+        [sys.executable, "-u", "-c", _SCRIPT], capture_output=True, text=True,
+        timeout=1100, cwd=os.path.dirname(os.path.dirname(__file__)),
+        env=dict(os.environ),
+    )
+    assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
+    line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+    assert json.loads(line)["max_image_diff"] < 1e-3
