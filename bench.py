@@ -66,7 +66,7 @@ def main():
     num_pairs = int(probe(*gauss))
     max_pairs = max(int(num_pairs * 1.1) + 1023 & ~1023, 1 << 14)
     cfg = RasterizeConfig(backend=backend, max_pairs=max_pairs, k_max=2048,
-                          tile_w=tile, tile_h=tile)
+                          tile_w=tile, tile_h=tile, need_n_contrib=False)
 
     fn = jax.jit(lambda *a: render(*a, cam, cs, bg, cfg=cfg, sh_degree=2).image)
     img = fn(*gauss)

@@ -39,6 +39,7 @@ def build_configs(lp, op):
         tile_w=lp.tile, tile_h=lp.tile, max_pairs=lp.max_pairs,
         backend=lp.backend, cull_z=lp.z_near, z_far=lp.z_far,
         use_sigmoid=lp.activation == "sigmoid",
+        need_n_contrib=False,  # diagnostic-only output; skip in training
     )
     return gcfg, mcfg, ocfg, rcfg
 

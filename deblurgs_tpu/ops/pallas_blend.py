@@ -238,11 +238,13 @@ def _forward_kernel(cfg, pad_start_ref, count_ref, fields_hbm,
             preferred_element_type=jnp.float32,
         )
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-        idx1 = (q * CHUNK + col + 1).astype(jnp.float32)
-        ncon = jnp.maximum(
-            ncon, jnp.max(jnp.where(comp, idx1, 0.0), axis=1, keepdims=True)
-        )
+        if cfg.need_n_contrib:
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+            idx1 = (q * CHUNK + col + 1).astype(jnp.float32)
+            ncon = jnp.maximum(
+                ncon,
+                jnp.max(jnp.where(comp, idx1, 0.0), axis=1, keepdims=True),
+            )
         # frozen output T = last composited P; unfrozen U keeps multiplying
         T_out = jnp.minimum(
             T_out, jnp.min(jnp.where(comp, P, 2.0), axis=1, keepdims=True)

@@ -43,6 +43,7 @@ class RasterizeConfig:
     z_far: float = 100.0        # depth background (forward.cu:390)
     use_sigmoid: bool = False
     scale_modifier: float = 1.0
+    need_n_contrib: bool = True  # n_contrib image is diagnostic-only
 
     def blend_config(self, cs: CameraStatic) -> tile_blend.BlendConfig:
         return tile_blend.BlendConfig(
@@ -50,6 +51,7 @@ class RasterizeConfig:
             tile_w=self.tile_w, tile_h=self.tile_h,
             k_max=self.k_max, z_far=self.z_far,
             backend=self.backend, interpret=self.interpret,
+            need_n_contrib=self.need_n_contrib,
         )
 
 

@@ -52,6 +52,8 @@ class BlendConfig:
     z_far: float = 100.0
     backend: str = "xla"       # "xla" | "pallas"
     interpret: bool = False    # pallas interpret mode (CPU testing)
+    need_n_contrib: bool = True  # n_contrib output (diagnostic only; the
+                                 # pallas backward recomputes its gates)
 
     @property
     def tiles_x(self) -> int:
