@@ -47,8 +47,11 @@ def morton_codes(points: jax.Array) -> jax.Array:
 
 
 def _exact_knn3_mean_sq(points: jax.Array, chunk: int = 1024) -> jax.Array:
-    """Exact mean of 3 smallest squared distances, O(N²) in chunks."""
+    """Exact mean of min(3, N-1) smallest squared distances, O(N²) in chunks."""
     n = points.shape[0]
+    k_eff = min(3, n - 1)
+    if k_eff <= 0:
+        return jnp.zeros(n, jnp.float32)
     pad = (-n) % chunk
     pts = jnp.pad(points, ((0, pad), (0, 0)), constant_values=jnp.inf)
 
@@ -57,7 +60,7 @@ def _exact_knn3_mean_sq(points: jax.Array, chunk: int = 1024) -> jax.Array:
         d2 = jnp.sum((q[:, None, :] - points[None, :, :]) ** 2, axis=-1)
         row = jnp.arange(chunk) + i * chunk
         d2 = jnp.where(row[:, None] == jnp.arange(n)[None, :], jnp.inf, d2)
-        small3 = -jax.lax.top_k(-d2, 3)[0]
+        small3 = -jax.lax.top_k(-d2, k_eff)[0]
         return jax.lax.dynamic_update_slice_in_dim(
             out, jnp.mean(small3, axis=-1), i * chunk, axis=0
         )

@@ -313,3 +313,68 @@ class TestDensify:
             grad_threshold=0.5, scene_extent=10.0,
         )
         assert int(rep.n_dropped) == 8  # no free slots at all
+
+    def test_split_children_near_parent(self):
+        """Split samples must come from the parent's own ellipsoid
+        (reference densify_and_split: N(0, scale) rotated by the parent)."""
+        cfg = gm.GaussianConfig(sh_degree=1)
+        pts = jnp.array([[0.0, 0.0, 0.0]])
+        params, aux = gm.create_from_pcd(pts, jnp.full((1, 3), 0.5), cfg,
+                                         capacity=8)
+        # anisotropic parent: sigma = (1.0, 0.01, 0.01)
+        params = params._replace(
+            scaling=params.scaling.at[0].set(
+                gm.inverse_scaling(jnp.array([1.0, 0.01, 0.01]), cfg)))
+        aux = aux._replace(xyz_grad_accum=jnp.ones(8).at[1:].set(0),
+                           denom=jnp.ones(8))
+        adam = optim.init(params)
+        child1s, child2s = [], []
+        for seed in range(30):
+            p2, a2, _, rep = densify_lib.densify_and_prune(
+                params, aux, adam, jax.random.PRNGKey(seed), cfg=cfg,
+                grad_threshold=0.5, scene_extent=1.0, percent_dense=0.01)
+            assert int(rep.n_split) == 1
+            child1s.append(np.asarray(p2.xyz[0]))
+            child2s.append(np.asarray(p2.xyz[1]))
+        c = np.concatenate([child1s, child2s])
+        # children concentrate along the long axis (x), tight in y/z
+        assert np.abs(c[:, 0]).std() > 0.5
+        assert np.abs(c[:, 1]).max() < 0.06
+        assert np.abs(c[:, 2]).max() < 0.06
+        # shrunk scaling
+        s_new = np.asarray(gm.get_scaling(p2, cfg))[0]
+        np.testing.assert_allclose(s_new, np.array([1.0, 0.01, 0.01]) / 1.6,
+                                   rtol=1e-4)
+
+    def test_densify_render_stability(self):
+        """A clone event must not catastrophically change the rendering
+        (clones double-composite like the reference; bounded brightening)."""
+        from deblurgs_tpu.ops.rasterize import RasterizeConfig, render
+        from tests.scene_factory import make_camera
+
+        cam, cs, _ = make_camera(width=32, height=32)
+        cfg = gm.GaussianConfig(sh_degree=1)
+        pts = jax.random.normal(jax.random.PRNGKey(0), (40, 3)) * 0.7
+        params, aux = gm.create_from_pcd(pts, jnp.full((40, 3), 0.5), cfg,
+                                         capacity=128)
+        adam = optim.init(params)
+        aux = aux._replace(
+            xyz_grad_accum=jnp.where(jnp.arange(128) < 40, 1.0, 0.0),
+            denom=jnp.ones(128))
+        rcfg = RasterizeConfig(backend="xla", max_pairs=1 << 11, k_max=128)
+
+        def img_of(p, a):
+            rin = gm.render_inputs(p, cfg)
+            return render(rin["means3d"], rin["scales"], rin["rotations"],
+                          rin["opacities"], rin["shs"], cam, cs,
+                          jnp.zeros(3), cfg=rcfg, sh_degree=1,
+                          active=a.active).image
+
+        before = np.asarray(img_of(params, aux))
+        p2, a2, _, rep = densify_lib.densify_and_prune(
+            params, aux, adam, jax.random.PRNGKey(1), cfg=cfg,
+            grad_threshold=0.5, scene_extent=100.0, percent_dense=0.01)
+        assert int(rep.n_cloned) + int(rep.n_split) == 40
+        after = np.asarray(img_of(p2, a2))
+        assert np.abs(after - before).mean() < 0.15, (
+            np.abs(after - before).mean())
