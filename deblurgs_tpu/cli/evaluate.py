@@ -39,8 +39,6 @@ def evaluate_session(session, pose_params, gts, proj, out_dir=None,
             imageio.imwrite(os.path.join(out_dir, "gt", f"{i:03d}.png"),
                             export.to_uint8(gts[i]))
             err = np.abs(np.asarray(img) - np.asarray(gts[i])).mean(-1)
-            import matplotlib.cm as cm
-
             os.makedirs(os.path.join(out_dir, "error"), exist_ok=True)
             import matplotlib
 

@@ -6,7 +6,6 @@ Usage:
 
 from __future__ import annotations
 
-import os
 import sys
 from argparse import ArgumentParser
 

@@ -12,7 +12,6 @@ scene-radius heuristic (``getNerfppNorm``, ``:56-90``).
 from __future__ import annotations
 
 import json
-import math
 import os
 from pathlib import Path
 from typing import NamedTuple, Optional

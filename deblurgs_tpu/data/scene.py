@@ -18,7 +18,6 @@ import math
 import os
 import random
 import re
-from typing import Optional
 
 import numpy as np
 

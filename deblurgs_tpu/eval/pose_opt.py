@@ -13,7 +13,6 @@ StepLR ×0.9 every ``num_iter//20`` epochs, one epoch = one step per view.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -6,7 +6,6 @@ SSIM accepts [H, W, C].
 
 from __future__ import annotations
 
-import math
 
 import jax
 import jax.numpy as jnp

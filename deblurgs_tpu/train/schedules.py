@@ -15,7 +15,6 @@ jitted train step.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -17,14 +17,12 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from deblurgs_tpu.core.camera import c2w_to_view, make_camera_arrays
 from deblurgs_tpu.models import gaussians as gm
 from deblurgs_tpu.models import motion as motion_lib
-from deblurgs_tpu.models import tonemap as tm
 from deblurgs_tpu.ops.rasterize import render
 
 
@@ -179,7 +177,6 @@ class Visualizer:
         to8 = lambda x: (np.clip(x, 0, 1) * 255).astype(np.uint8)
         imageio.imwrite(os.path.join(out_dir, "blur.png"), to8(blur))
         imageio.imwrite(os.path.join(out_dir, "gt.png"), to8(gt))
-        import matplotlib.cm as cm
 
         import matplotlib
 
