@@ -50,6 +50,7 @@ def main():
     ap.add_argument("--freeze_scene", action="store_true",
                     help="train only the camera curves against the true "
                          "scene (isolates motion-recovery)")
+    ap.add_argument("--no_densify", action="store_true")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -157,7 +158,8 @@ def main():
 
     ocfg = OptimizationConfig(
         iterations=args.iters, curve_start_iter=100,
-        densify_from_iter=10**9 if args.freeze_scene else 500,
+        densify_from_iter=(10**9 if (args.freeze_scene or args.no_densify)
+                           else 500),
         densification_interval=200,
         densify_until_iter=int(args.iters * 0.7),
         opacity_reset_interval=10_000_000,
