@@ -207,3 +207,27 @@ class TestTrainStep:
         assert np.isfinite(float(metrics.loss))
         assert np.abs(np.asarray(state.motion.rot_ctrl) - m0).max() > 0
         assert state.motion.rot_ctrl.shape[-1] == 4  # quaternion controls
+
+
+class TestBlurQuery:
+    def test_query_matches_manual_mean(self):
+        from deblurgs_tpu.models import blur as blur_lib
+
+        data = build_synthetic(jax.random.PRNGKey(20), n_cams=2)
+        gcfg, rcfg = data["gcfg"], data["rcfg"]
+        params, aux = gm.create_from_pcd(data["pts"], data["cols"], gcfg,
+                                         capacity=64)
+        mcfg = motion_lib.MotionConfig(curve_order=3, n_subframes=4)
+        motion_params = motion_lib.init_motion(
+            data["rots"], data["centers"], mcfg, jax.random.PRNGKey(21),
+            init_noise=0.01)
+        out = blur_lib.query(
+            params, aux, motion_params, jnp.int32(0), data["proj"],
+            data["cs"], gcfg=gcfg, mcfg=mcfg, rcfg=rcfg, sh_degree=1,
+            background=jnp.zeros(3))
+        assert out.subframes.shape[0] == 4
+        np.testing.assert_allclose(
+            np.asarray(out.blurred),
+            np.asarray(out.subframes.mean(0)), atol=1e-6)
+        # subframes actually differ (curve noise)
+        assert float(jnp.abs(out.subframes[0] - out.subframes[-1]).max()) > 0
