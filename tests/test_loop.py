@@ -108,3 +108,35 @@ class TestTrainerLoop:
         assert (np.asarray(s2.adam_g.mu.xyz[:16]) == 1.0).all()
         assert (np.asarray(s2.adam_g.mu.xyz[16:]) == 0.0).all()
         assert (np.asarray(s2.params.rotation[16:, 0]) == 1.0).all()
+
+
+class TestPhaseTransitions:
+    def test_sharp_to_blur_switch(self, dataset):
+        """Crossing curve_start_iter mid-run switches to the f-sub-frame
+        compiled variant and keeps training stable."""
+        source, model = dataset
+        from argparse import ArgumentParser
+        from deblurgs_tpu.cli.args import ModelParams, OptimizationParams
+        from deblurgs_tpu.cli.train import build_configs
+        from deblurgs_tpu.data.scene import Scene
+        from deblurgs_tpu.train.loop import Trainer
+
+        parser = ArgumentParser()
+        lp, op = ModelParams(parser), OptimizationParams(parser)
+        args = parser.parse_args([
+            "-s", source, "-m", model, "--num_subframes", "3",
+            "--curve_order", "2", "--backend", "xla",
+            "--max_pairs", str(1 << 12), "--curve_start_iter", "4",
+            "--densify_from_iter", "1000",
+            "--opacity_reset_interval", "1000"])
+        gcfg, mcfg, ocfg, rcfg = build_configs(lp.extract(args), op.extract(args))
+        scene = Scene(source, None, resolution=1)
+        tr = Trainer(scene=scene, gcfg=gcfg, mcfg=mcfg, ocfg=ocfg, rcfg=rcfg,
+                     tone_mapping="identity")
+        state, first = tr.init_state()
+        # phase statics flip at curve_start_iter
+        assert tr.phase_statics(3)[1] == 1
+        assert tr.phase_statics(4)[1] == 3
+        state = tr.train(state, first, iterations=8)
+        assert int(state.step) == 9
+        assert len(tr._step_cache) == 2  # one per phase
