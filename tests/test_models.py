@@ -378,3 +378,37 @@ class TestDensify:
         after = np.asarray(img_of(p2, a2))
         assert np.abs(after - before).mean() < 0.15, (
             np.abs(after - before).mean())
+
+
+class TestSmallAPIs:
+    def test_mark_visible(self):
+        from deblurgs_tpu.ops.preprocess import mark_visible
+        from tests.scene_factory import make_camera
+
+        cam, cs, _ = make_camera()
+        pts = jnp.array([[0.0, 0.0, 0.0],    # in front (cam at z=-4)
+                         [0.0, 0.0, -4.1]])  # behind the camera
+        vis = np.asarray(mark_visible(pts, cam))
+        assert vis[0] and not vis[1]
+
+    def test_decay_opacity(self):
+        cfg = gm.GaussianConfig(sh_degree=1)
+        pts = jax.random.normal(jax.random.PRNGKey(0), (5, 3))
+        params, aux = gm.create_from_pcd(pts, jnp.full((5, 3), 0.5), cfg, 8)
+        p2 = gm.decay_opacity(params, cfg, 0.5)
+        np.testing.assert_allclose(
+            np.asarray(gm.get_opacity(p2, cfg))[:5],
+            np.asarray(gm.get_opacity(params, cfg))[:5] * 0.5, atol=1e-6)
+
+    def test_light_prune(self):
+        cfg = gm.GaussianConfig(sh_degree=1)
+        pts = jax.random.normal(jax.random.PRNGKey(0), (5, 3))
+        params, aux = gm.create_from_pcd(pts, jnp.full((5, 3), 0.5), cfg, 8)
+        keep = jnp.arange(8) < 2
+        a2 = gm.light_prune(aux, keep)
+        assert int(gm.num_active(a2)) == 2
+
+    def test_one_up_sh_degree(self):
+        cfg = gm.GaussianConfig(sh_degree=2)
+        assert gm.one_up_sh_degree(0, cfg) == 1
+        assert gm.one_up_sh_degree(2, cfg) == 2
