@@ -74,7 +74,12 @@ def main(argv=None):
         # no held-out split: try COLMAP registration of test_images/
         from deblurgs_tpu.tools.colmap_pipeline import initialize_test_pose
 
-        test_infos = initialize_test_pose(session, args.model_path)
+        try:
+            test_infos = initialize_test_pose(session, args.model_path,
+                                              args.source_path)
+        except RuntimeError as e:
+            print(f"cannot register test poses: {e}")
+            test_infos = []
         if not test_infos:
             print("no test cameras available — nothing to evaluate")
             return None

@@ -45,6 +45,12 @@ class RasterizeConfig:
     scale_modifier: float = 1.0
     need_n_contrib: bool = True  # n_contrib image is diagnostic-only
 
+    def __post_init__(self):
+        if self.backend not in ("xla", "pallas", "oracle"):
+            raise ValueError(
+                f"unknown rasterizer backend {self.backend!r} "
+                "(expected 'pallas', 'xla' or 'oracle')")
+
     def blend_config(self, cs: CameraStatic) -> tile_blend.BlendConfig:
         return tile_blend.BlendConfig(
             width=cs.width, height=cs.height,
