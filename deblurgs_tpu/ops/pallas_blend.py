@@ -17,10 +17,16 @@ below 1e-4") are *exactly*:
 
 because P is non-increasing, so once it crosses the threshold no later pair
 can composite. This turns the sequential recurrence into a cumulative
-product — computed on the **MXU** as ``exp(log(mult) @ triu)`` (``mult ≥
-0.01`` thanks to the 0.99 alpha clamp, so the log is safe) — plus
-elementwise VPU work. Pairs stream HBM→VMEM in double-buffered DMA chunks
-with per-tile dynamic trip counts and whole-tile early exit.
+product — computed on the **MXU** as ``exp(log(mult) @ utri)`` (``mult ≥
+0.01`` thanks to the 0.99 alpha clamp, so the log is safe).
+
+**Power as a bilinear form (MXU).** The Gaussian falloff
+``power = -0.5(ca·dx² + cc·dy²) - cb·dx·dy`` with ``dx = x - px`` is a
+rank-6 bilinear form between 6 per-pair features and the fixed per-tile
+pixel features ``[1, p, q, p², q², p·q]`` — ONE [PX, 8] × [8, CHUNK] MXU
+matmul replaces ~10 elementwise [PX, CHUNK] passes. Coordinates are shifted
+to the tile origin in-kernel (tiny per-pair row ops) so the feature split
+stays exact in float32.
 
 **Backward without back-to-front.** With suffix sums expressed as
 ``total − prefix``, the hand-derived gradient
@@ -31,19 +37,25 @@ with per-tile dynamic trip counts and whole-tile early exit.
 is algebraically identical to the CUDA ``accum_rec`` recurrence (divide
 through by ``P_j``) but runs as a second *forward-order* streaming pass —
 no ``n_contrib`` bookkeeping, no atomics: per-pair gradients are written to
-the pair's own slot and segment-summed by Gaussian id outside the kernel.
+the pair's own slot (double-buffered DMA) and segment-summed by Gaussian id
+outside the kernel. The per-pair reductions over pixels are *moment
+matmuls*: with ``N = G·dL_dalpha`` all six gradients (mean2d, conic,
+opacity) are linear combinations of ``[1,p,q,p²,q²,pq]ᵀ @ N`` — one MXU
+contraction instead of six elementwise reduction passes.
 
-**Layout.** In-kernel arrays are [tile_px, CHUNK]: pairs ride the (128-wide,
-alignment-friendly) lane axis, pixels the sublane axis. Pair fields are
-pre-gathered to ``[16, padded_pairs]`` with every tile's segment aligned to
-CHUNK so each DMA is one contiguous aligned block; field *rows* broadcast
-against pixel *columns* with no in-kernel transposes, and all contractions
-(prefix ops, color accumulation, per-pair reductions) are MXU matmuls.
+**Layout.** In-kernel arrays are [tile_px, CHUNK]: pixels ride the sublane
+axis, pairs the lane axis. Pair fields live in HBM as [16, MPP] so every
+DMA block [16, CHUNK] slices the (128-aligned) lane axis — Mosaic rejects
+minor-dim slices narrower than the 128 tiling, so the natural [MPP, 16]
+gather layout is transposed once at prepare time (bandwidth-bound, shared
+by fwd+bwd via the VJP residuals). The pair→aligned-slot relayout is
+gather-only (scatters with duplicate indices serialize on TPU).
 """
 
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +72,16 @@ NFIELD = 16
 #             6-8 dcolor, 9 ddepth
 
 
+class Prepared(NamedTuple):
+    """Shared fwd/bwd staging (saved as VJP residuals — the backward never
+    re-runs the relayout/gather)."""
+
+    fields: jax.Array     # [16, MPP] f32 pair field rows (padding cols = 0)
+    pgp: jax.Array        # [MPP] int32 owning Gaussian id (-1 = padding)
+    pad_start: jax.Array  # [num_tiles] int32 aligned segment starts
+    count: jax.Array      # [num_tiles] int32 real pairs per tile
+
+
 def _align_layout(cfg, pair_gauss, pair_tile, tile_start, tile_stop):
     """Re-lay sorted pairs so each tile's segment is CHUNK-aligned.
 
@@ -69,7 +91,7 @@ def _align_layout(cfg, pair_gauss, pair_tile, tile_start, tile_stop):
     count [T], MPP).
     """
     num_tiles = cfg.num_tiles
-    count = tile_stop - tile_start                       # [T]
+    count = (tile_stop - tile_start).astype(jnp.int32)
     aligned = ((count + CHUNK - 1) // CHUNK) * CHUNK
     pad_start = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(aligned)[:-1].astype(jnp.int32)]
@@ -87,18 +109,23 @@ def _align_layout(cfg, pair_gauss, pair_tile, tile_start, tile_stop):
     pg_padded = jnp.full((mpp,), -1, jnp.int32).at[new_pos].set(
         pair_gauss, mode="drop"
     )
-    return pg_padded, pad_start, count.astype(jnp.int32), mpp
+    return pg_padded, pad_start, count, mpp
 
 
-def _gather_fields(pg_padded, means2d, conic, opacity, color, depth):
-    """[16, MPP] float32 field matrix; padding columns scrubbed to zero.
+def prepare(cfg, pair_gauss, pair_tile, tile_start, tile_stop,
+            means2d, conic, opacity, color, depth) -> Prepared:
+    """Relayout + field gather shared by forward and backward.
 
-    One row gather from a packed [P, 16] table (the fast TPU gather path),
-    then a bandwidth-bound transpose — never per-field element gathers.
+    One row gather from a packed [P, 16] table (the fast TPU gather path) —
+    never per-field element gathers — then one bandwidth-bound transpose to
+    the DMA-friendly [16, MPP] layout.
     """
+    pgp, pad_start, count, _ = _align_layout(
+        cfg, pair_gauss, pair_tile, tile_start, tile_stop)
+
     P = means2d.shape[0]
-    ok = (pg_padded >= 0) & (pg_padded < P)
-    g = jnp.clip(pg_padded, 0, P - 1)
+    pgp = jnp.where(pgp < P, pgp, -1)
+    g = jnp.clip(pgp, 0, P - 1)
     table = jnp.concatenate(
         [
             means2d,                       # x, y
@@ -110,14 +137,15 @@ def _gather_fields(pg_padded, means2d, conic, opacity, color, depth):
         ],
         axis=-1,
     )                                                     # [P, 16]
-    F = jnp.where(ok[:, None], table[g], 0.0)             # [MPP, 16]
-    return F.T
+    fields = jnp.where((pgp >= 0)[:, None], table[g], 0.0)  # [MPP, 16]
+    return Prepared(fields=fields.T, pgp=pgp, pad_start=pad_start,
+                    count=count)
 
 
 def _utri():
     """Upper-triangular ones (inclusive) [CHUNK, CHUNK]: ``x @ utri`` is the
-    inclusive prefix sum along the lane axis. Built with iota (kernels
-    cannot capture host constants)."""
+    inclusive prefix sum along the lane (pair) axis. Built with iota
+    (kernels cannot capture host constants)."""
     ri = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
     return (ri <= ci).astype(jnp.float32)
@@ -148,39 +176,62 @@ def _row_to_col(row):
     )
 
 
-def _pixel_xy_cols(cfg, t):
-    """Pixel coordinates of tile ``t`` as two [PX, 1] f32 columns."""
-    tiles_x = cfg.tiles_x
-    tx0 = (jax.lax.rem(t, tiles_x) * cfg.tile_w).astype(jnp.float32)
-    ty0 = (jax.lax.div(t, tiles_x) * cfg.tile_h).astype(jnp.float32)
+def _pixel_features(cfg):
+    """Tile-local pixel features [PX, 8] = [1, p, q, p², q², p·q, 0, 0]
+    (p, q = pixel coords relative to the tile origin — small, so the
+    bilinear power/moment factorization is exact in f32)."""
     i = jax.lax.broadcasted_iota(jnp.int32, (cfg.tile_px, 1), 0)
-    px = tx0 + jax.lax.rem(i, cfg.tile_w).astype(jnp.float32)
-    py = ty0 + jax.lax.div(i, cfg.tile_w).astype(jnp.float32)
-    return px, py
+    p = jax.lax.rem(i, cfg.tile_w).astype(jnp.float32)
+    q = jax.lax.div(i, cfg.tile_w).astype(jnp.float32)
+    one = jnp.ones((cfg.tile_px, 1), jnp.float32)
+    zero = jnp.zeros((cfg.tile_px, 1), jnp.float32)
+    return jnp.concatenate([one, p, q, p * p, q * q, p * q, zero, zero], 1)
 
 
-def _chunk_alpha(data, pixx, pixy, base, cnt):
-    """Shared per-chunk alpha/eligibility computation.
+def _tile_origin(cfg, t):
+    tx0 = (jax.lax.rem(t, cfg.tiles_x) * cfg.tile_w).astype(jnp.float32)
+    ty0 = (jax.lax.div(t, cfg.tiles_x) * cfg.tile_h).astype(jnp.float32)
+    return tx0, ty0
 
-    data: [16, CHUNK] VMEM chunk. Returns arrays oriented [PX, CHUNK].
+
+def _chunk_core(data, tx0, ty0, pf, utri, U, base, cnt):
+    """Shared per-chunk math. ``data``: [16, CHUNK] VMEM block.
+
+    Returns per-chunk arrays oriented [PX, CHUNK] plus per-pair rows
+    [1, CHUNK].
     """
-    x = data[0:1, :]
-    y = data[1:2, :]
+    xl = data[0:1, :] - tx0                       # [1, CHUNK] tile-local
+    yl = data[1:2, :] - ty0
     ca = data[2:3, :]
     cb = data[3:4, :]
     cc = data[4:5, :]
     opac = data[5:6, :]
-    dx = x - pixx                                    # [PX, CHUNK]
-    dy = y - pixy
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    b0 = -0.5 * (ca * xl * xl + cc * yl * yl) - cb * xl * yl
+    b1 = ca * xl + cb * yl
+    b2 = cc * yl + cb * xl
+    zero = jnp.zeros_like(b0)
+    b8 = jnp.concatenate(
+        [b0, b1, b2, -0.5 * ca, -0.5 * cc, -cb, zero, zero], 0)  # [8, CHUNK]
+    power = jax.lax.dot_general(
+        pf, b8, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                             # [PX, CHUNK] (MXU)
     G = jnp.exp(jnp.minimum(power, 0.0))
     alpha = jnp.minimum(0.99, opac * G)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-    within = (base + col) < cnt                      # [1, CHUNK]
+    within = (base + col) < cnt                   # [1, CHUNK]
     elig = within & (power <= 0.0) & (alpha >= _ALPHA_MIN)
-    mult = jnp.where(elig, 1.0 - alpha, 1.0)
-    return alpha, mult, elig, dict(dx=dx, dy=dy, G=G, opac=opac,
-                                   ca=ca, cb=cb, cc=cc)
+    alpha_eff = jnp.where(elig, alpha, 0.0)
+    mult = 1.0 - alpha_eff
+    logm = jnp.log(mult)
+    csum = jnp.dot(logm, utri, preferred_element_type=jnp.float32)
+    P_run = U * jnp.exp(csum)                     # inclusive, [PX, CHUNK]
+    P_prev = P_run / mult
+    live = P_run >= _T_EPS
+    w = jnp.where(live, alpha_eff * P_prev, 0.0)
+    comp = live & elig
+    return dict(G=G, mult=mult, P_run=P_run, P_prev=P_prev, w=w, comp=comp,
+                xl=xl, yl=yl, ca=ca, cb=cb, cc=cc, opac=opac, col=col)
 
 
 def _forward_kernel(cfg, pad_start_ref, count_ref, fields_hbm,
@@ -189,7 +240,8 @@ def _forward_kernel(cfg, pad_start_ref, count_ref, fields_hbm,
     start = pad_start_ref[t]
     cnt = count_ref[t]
     nchunks = pl.cdiv(cnt, CHUNK)
-    pixx, pixy = _pixel_xy_cols(cfg, t)
+    pf = _pixel_features(cfg)
+    tx0, ty0 = _tile_origin(cfg, t)
     utri = _utri()
     px_n = cfg.tile_px
 
@@ -221,35 +273,26 @@ def _forward_kernel(cfg, pad_start_ref, count_ref, fields_hbm,
 
         dma(slot, q).wait()
         data = buf[slot]                                 # [16, CHUNK]
-        alpha, mult, elig, aux = _chunk_alpha(data, pixx, pixy, q * CHUNK, cnt)
-
-        # unfrozen prefix product on the MXU: P = U * exp(log(mult) @ utri)
-        logm = jnp.log(mult)
-        csum = jnp.dot(logm, utri, preferred_element_type=jnp.float32)
-        P = U * jnp.exp(csum)                            # inclusive, [PX, CHUNK]
-        P_prev = P / mult
-        comp = elig & (P >= _T_EPS)
-        w = jnp.where(comp, alpha * P_prev, 0.0)
+        c = _chunk_core(data, tx0, ty0, pf, utri, U, q * CHUNK, cnt)
+        P_run, w, comp = c["P_run"], c["w"], c["comp"]
 
         # color+depth accumulation: [4, CHUNK] ⨯ [PX, CHUNK] → [4, PX] (MXU)
-        c_rows = data[6:10, :]
         CD = CD + jax.lax.dot_general(
-            c_rows, w, dimension_numbers=(((1,), (1,)), ((), ())),
+            data[6:10, :], w, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
         if cfg.need_n_contrib:
-            col = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-            idx1 = (q * CHUNK + col + 1).astype(jnp.float32)
+            idx1 = (q * CHUNK + c["col"] + 1).astype(jnp.float32)
             ncon = jnp.maximum(
                 ncon,
                 jnp.max(jnp.where(comp, idx1, 0.0), axis=1, keepdims=True),
             )
         # frozen output T = last composited P; unfrozen U keeps multiplying
         T_out = jnp.minimum(
-            T_out, jnp.min(jnp.where(comp, P, 2.0), axis=1, keepdims=True)
+            T_out, jnp.min(jnp.where(comp, P_run, 2.0), axis=1, keepdims=True)
         )
-        U_next = P[:, CHUNK - 1:]
+        U_next = P_run[:, CHUNK - 1:]
         return q + 1, U_next, T_out, CD, ncon
 
     init = (
@@ -267,12 +310,13 @@ def _forward_kernel(cfg, pad_start_ref, count_ref, fields_hbm,
 
 def _backward_kernel(cfg, pad_start_ref, count_ref, fields_hbm, dl_in,
                      bgdot_in, grads_in_alias, grads_out,
-                     buf, gbuf, sems, gsem):
+                     buf, gbuf, sems, gsems):
     t = pl.program_id(0)
     start = pad_start_ref[t]
     cnt = count_ref[t]
     nchunks = pl.cdiv(cnt, CHUNK)
-    pixx, pixy = _pixel_xy_cols(cfg, t)
+    pf = _pixel_features(cfg)
+    tx0, ty0 = _tile_origin(cfg, t)
     utri = _utri()
     px_n = cfg.tile_px
 
@@ -285,6 +329,12 @@ def _backward_kernel(cfg, pad_start_ref, count_ref, fields_hbm, dl_in,
             fields_hbm.at[:, pl.ds(off, CHUNK)],
             buf.at[slot],
             sems.at[slot],
+        )
+
+    def copy_out(slot, q):
+        off = pl.multiple_of(start + q * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            gbuf.at[slot], grads_out.at[:, pl.ds(off, CHUNK)], gsems.at[slot]
         )
 
     @pl.when(nchunks > 0)
@@ -305,19 +355,13 @@ def _backward_kernel(cfg, pad_start_ref, count_ref, fields_hbm, dl_in,
 
         dma_in(slot, q).wait()
         data = buf[slot]
-        alpha, mult, elig, aux = _chunk_alpha(data, pixx, pixy, q * CHUNK, cnt)
-
-        logm = jnp.log(mult)
-        csum = jnp.dot(logm, utri, preferred_element_type=jnp.float32)
-        P = U * jnp.exp(csum)
-        P_prev = P / mult
-        comp = elig & (P >= _T_EPS)
-        w = jnp.where(comp, alpha * P_prev, 0.0)
+        c = _chunk_core(data, tx0, ty0, pf, utri, U, q * CHUNK, cnt)
+        G, mult, P_prev, w, comp = (c["G"], c["mult"], c["P_prev"], c["w"],
+                                    c["comp"])
 
         # per-pair dl·c: [4, PX] ⨯ [4, CHUNK] → [PX, CHUNK] (MXU)
-        c_rows = data[6:10, :]
         dl_dot_c = jax.lax.dot_general(
-            dl, c_rows, dimension_numbers=(((0,), (0,)), ((), ())),
+            dl, data[6:10, :], dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -330,35 +374,48 @@ def _backward_kernel(cfg, pad_start_ref, count_ref, fields_hbm, dl_in,
         S = bgdot - dlW
         dL_dalpha = jnp.where(comp, dl_dot_c * P_prev - S / mult, 0.0)
 
-        G, dx, dy = aux["G"], aux["dx"], aux["dy"]
-        opac, ca, cb, cc = aux["opac"], aux["ca"], aux["cb"], aux["cc"]
-        dL_dG = opac * dL_dalpha
-        gdx = G * dx
-        gdy = G * dy
-        # per-pair reductions over pixels (sublanes) → [1, CHUNK] rows
-        dmx = jnp.sum(dL_dG * (-gdx * ca - gdy * cb), axis=0, keepdims=True)
-        dmy = jnp.sum(dL_dG * (-gdy * cc - gdx * cb), axis=0, keepdims=True)
-        dca = jnp.sum(-0.5 * gdx * dx * dL_dG, axis=0, keepdims=True)
-        dcb = jnp.sum(-(gdx * dy) * dL_dG, axis=0, keepdims=True)
-        dcc = jnp.sum(-0.5 * gdy * dy * dL_dG, axis=0, keepdims=True)
-        dop = jnp.sum(G * dL_dalpha, axis=0, keepdims=True)
+        # moment matmul: all pixel reductions at once.
+        # N = G·dL_dalpha; M = opac·N; with local pixel features (p, q):
+        #   T0..T5 = Σ_px N·[1, p, q, p², q², pq]  →  one MXU contraction
+        N = G * dL_dalpha                                  # [PX, CHUNK]
+        mom = jax.lax.dot_general(
+            pf, N, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # [8, CHUNK]
+        xl, yl = c["xl"], c["yl"]
+        ca, cb, cc, opac = c["ca"], c["cb"], c["cc"], c["opac"]
+        M0 = opac * mom[0:1, :]
+        M1 = opac * mom[1:2, :]
+        M2 = opac * mom[2:3, :]
+        M3 = opac * mom[3:4, :]
+        M4 = opac * mom[4:5, :]
+        M5 = opac * mom[5:6, :]
+        Sx = xl * M0 - M1                # Σ M·dx   (dx = xl − p)
+        Sy = yl * M0 - M2                # Σ M·dy
+        dmx = -ca * Sx - cb * Sy
+        dmy = -cc * Sy - cb * Sx
+        dca = -0.5 * (xl * xl * M0 - 2.0 * xl * M1 + M3)
+        dcb = -(xl * yl * M0 - xl * M2 - yl * M1 + M5)
+        dcc = -0.5 * (yl * yl * M0 - 2.0 * yl * M2 + M4)
+        dop = mom[0:1, :]                # Σ G·dL_dalpha
         # per-pair color/depth grads: [4, PX] ⨯ [PX, CHUNK] → [4, CHUNK]
-        dcol = jnp.dot(dl, w, preferred_element_type=jnp.float32)
-
+        dcold = jnp.dot(dl, w, preferred_element_type=jnp.float32)
         gout = jnp.concatenate(
-            [dmx, dmy, dca, dcb, dcc, dop, dcol,
+            [dmx, dmy, dca, dcb, dcc, dop, dcold,
              jnp.zeros((NFIELD - 10, CHUNK), jnp.float32)],
             axis=0,
         )                                                  # [16, CHUNK]
-        gbuf[:] = gout
-        off = pl.multiple_of(start + q * CHUNK, CHUNK)
-        copy_out = pltpu.make_async_copy(
-            gbuf, grads_out.at[:, pl.ds(off, CHUNK)], gsem
-        )
-        copy_out.start()
-        copy_out.wait()
 
-        U_next = P[:, CHUNK - 1:]
+        # double-buffered write-back: wait only for the copy issued two
+        # iterations ago before reusing its slot
+        @pl.when(q >= 2)
+        def _():
+            copy_out(slot, q - 2).wait()
+
+        gbuf[slot] = gout
+        copy_out(slot, q).start()
+
+        U_next = c["P_run"][:, CHUNK - 1:]
         W_next = dlW[:, CHUNK - 1:]
         return q + 1, U_next, W_next
 
@@ -367,16 +424,20 @@ def _backward_kernel(cfg, pad_start_ref, count_ref, fields_hbm, dl_in,
         jnp.ones((px_n, 1), jnp.float32),
         jnp.zeros((px_n, 1), jnp.float32),
     )
-    jax.lax.while_loop(cond, body, init)
+    q_fin, _, _ = jax.lax.while_loop(cond, body, init)
+
+    # drain the (up to two) outstanding write-backs
+    @pl.when(q_fin >= 1)
+    def _():
+        copy_out(jax.lax.rem(q_fin - 1, 2), q_fin - 1).wait()
+
+    @pl.when(q_fin >= 2)
+    def _():
+        copy_out(jax.lax.rem(q_fin, 2), q_fin - 2).wait()
 
 
-def forward(cfg, pair_gauss, pair_tile, tile_start, tile_stop,
-            means2d, conic, opacity, color, depth):
+def forward(cfg, prep: Prepared):
     """Pallas forward. Returns tiled (C [T,PX,3], D [T,PX], T, n_con)."""
-    pgp, pad_start, count, mpp = _align_layout(cfg, pair_gauss, pair_tile,
-                                               tile_start, tile_stop)
-    fields = _gather_fields(pgp, means2d, conic, opacity, color, depth)
-
     nt, px_n = cfg.num_tiles, cfg.tile_px
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -404,23 +465,18 @@ def forward(cfg, pair_gauss, pair_tile, tile_start, tile_stop,
             jax.ShapeDtypeStruct((nt, 1, px_n), jnp.int32),
         ],
         interpret=cfg.interpret,
-    )(pad_start, count, fields)
+    )(prep.pad_start, prep.count, prep.fields)
     C = jnp.moveaxis(cd[:, :3, :], 1, 2)        # [T, PX, 3]
     D = cd[:, 3, :]
     return C, D, t_fin[:, 0, :], ncon[:, 0, :]
 
 
-def backward(cfg, pair_gauss, pair_tile, tile_start, tile_stop,
-             means2d, conic, opacity, color, depth, bg,
-             final_T_t, n_con_t, dL_dpix_t, dL_dpixd_t, C_t, D_t):
-    """Pallas backward. ``C_t``/``D_t``: the forward's pre-background
-    color/depth sums (saved residuals) — used for the total−prefix suffix
-    trick. ``n_con_t`` is unused: the composite gate is recomputed from P."""
-    del n_con_t
-    pgp, pad_start, count, mpp = _align_layout(cfg, pair_gauss, pair_tile,
-                                               tile_start, tile_stop)
-    fields = _gather_fields(pgp, means2d, conic, opacity, color, depth)
+def backward(cfg, prep: Prepared, num_gaussians, bg,
+             final_T_t, dL_dpix_t, dL_dpixd_t, C_t, D_t):
+    """Pallas backward from the shared ``Prepared`` residuals.
 
+    ``C_t``/``D_t``: the forward's pre-background color/depth sums — used
+    for the total−prefix suffix trick."""
     nt, px_n = cfg.num_tiles, cfg.tile_px
     dl = jnp.concatenate(
         [jnp.moveaxis(dL_dpix_t, 2, 1), dL_dpixd_t[:, None, :]], axis=1
@@ -429,7 +485,8 @@ def backward(cfg, pair_gauss, pair_tile, tile_start, tile_stop,
     bg_dot = (dL_dpix_t @ bg) + cfg.z_far * dL_dpixd_t                # [T, PX]
     bgdot_full = sigma_dot + final_T_t * bg_dot                       # [T, PX]
 
-    grads_zero = jnp.zeros((NFIELD, fields.shape[1]), jnp.float32)
+    mpp = prep.fields.shape[1]
+    grads_zero = jnp.zeros((NFIELD, mpp), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -445,24 +502,25 @@ def backward(cfg, pair_gauss, pair_tile, tile_start, tile_stop,
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         scratch_shapes=[
             pltpu.VMEM((2, NFIELD, CHUNK), jnp.float32),
-            pltpu.VMEM((NFIELD, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NFIELD, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     pair_grads = pl.pallas_call(
         functools.partial(_backward_kernel, cfg),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((NFIELD, fields.shape[1]), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((NFIELD, mpp), jnp.float32)],
         input_output_aliases={5: 0},
         interpret=cfg.interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(pad_start, count, fields, dl, bgdot_full[:, None, :], grads_zero)[0]
+    )(prep.pad_start, prep.count, prep.fields, dl,
+      bgdot_full[:, None, :], grads_zero)[0]
 
     # segment-sum pair grads by Gaussian id (deterministic, atomics-free)
-    P = means2d.shape[0]
-    ok = (pgp >= 0) & (pgp < P)
-    seg = jnp.where(ok, pgp, P)
+    P = num_gaussians
+    ok = prep.pgp >= 0
+    seg = jnp.where(ok, prep.pgp, P)
     sums = jax.ops.segment_sum(pair_grads.T, seg, num_segments=P + 1)[:P]
     dm = sums[:, 0:2]
     dc = sums[:, 2:5]

@@ -304,12 +304,16 @@ def blend(cfg: BlendConfig, pair_gauss, pair_tile, tile_start, tile_stop,
 
 def _blend_fwd(cfg, pair_gauss, pair_tile, tile_start, tile_stop,
                means2d, conic, opacity, color, depth, bg):
+    prep = None
     if cfg.backend == "pallas":
         from deblurgs_tpu.ops import pallas_blend
 
-        C, D, T, n_con = pallas_blend.forward(
+        # the relayout + field gather is shared with the backward pass via
+        # the VJP residuals (it is pure index plumbing — no gradients)
+        prep = pallas_blend.prepare(
             cfg, pair_gauss, pair_tile, tile_start, tile_stop,
             means2d, conic, opacity, color, depth)
+        C, D, T, n_con = pallas_blend.forward(cfg, prep)
     else:
         C, D, T, n_con = _xla_forward(
             cfg, pair_gauss, tile_start, tile_stop,
@@ -323,14 +327,14 @@ def _blend_fwd(cfg, pair_gauss, pair_tile, tile_start, tile_stop,
         tiles_to_image(cfg, n_con),
     )
     res = (pair_gauss, pair_tile, tile_start, tile_stop,
-           means2d, conic, opacity, color, depth, bg, T, n_con, C, D)
+           means2d, conic, opacity, color, depth, bg, T, n_con, C, D, prep)
     return out, res
 
 
 def _blend_bwd(cfg, res, cot):
     (pair_gauss, pair_tile, tile_start, tile_stop,
      means2d, conic, opacity, color, depth, bg, final_T_t, n_con_t,
-     C_t, D_t) = res
+     C_t, D_t, prep) = res
     dL_dimage, dL_ddepth, _dT, _dn = cot
     dL_dpix_t = image_to_tiles(cfg, dL_dimage)
     dL_dpixd_t = image_to_tiles(cfg, dL_ddepth)
@@ -339,9 +343,8 @@ def _blend_bwd(cfg, res, cot):
         from deblurgs_tpu.ops import pallas_blend
 
         dm, dc, do, dcol, dd, dbg = pallas_blend.backward(
-            cfg, pair_gauss, pair_tile, tile_start, tile_stop,
-            means2d, conic, opacity, color, depth, bg,
-            final_T_t, n_con_t, dL_dpix_t, dL_dpixd_t, C_t, D_t)
+            cfg, prep, means2d.shape[0], bg,
+            final_T_t, dL_dpix_t, dL_dpixd_t, C_t, D_t)
     else:
         dm, dc, do, dcol, dd, dbg = _xla_backward(
             cfg, pair_gauss, tile_start, tile_stop,
