@@ -90,6 +90,7 @@ class Scene:
                  z_near: float = 0.2, z_far: float = 100.0,
                  use_sigmoid: bool = False, shuffle: bool = True, seed: int = 0):
         self.model_path = model_path
+        self.white_background = white_background
         self.info: SceneInfo = load_scene_info(
             source_path, images=images, eval_split=eval_split,
             llffhold=llffhold, num_initial_pcd=num_initial_pcd,

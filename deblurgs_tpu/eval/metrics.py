@@ -31,53 +31,102 @@ def ssim(img: jax.Array, gt: jax.Array) -> float:
 
 
 # ---------------------------------------------------------------------------
-# LPIPS (VGG16 feature distance, offline weights)
+# LPIPS (VGG16 / AlexNet feature distance, offline weights)
 # ---------------------------------------------------------------------------
+#
+# Semantics pinned to the reference's vendored ``lpipsPyTorch``:
+# - input images stay in [0, 1] and are normalized as ``(x − shift) / scale``
+#   (``modules/networks.py:50-51`` — the vendored fork does NOT rescale to
+#   [−1, 1] first, unlike upstream richzhang LPIPS);
+# - activations unit-normalized as ``x / (‖x‖₂ + 1e-10)``
+#   (``modules/utils.py:6-8`` — norm PLUS eps, not max(norm, eps));
+# - per-tap squared diff → 1×1 non-negative linear head → spatial mean →
+#   sum over taps (``modules/lpips.py:30-37``).
+# ``metrics.py:74`` uses the vgg backbone; ``test.py:120`` uses alex — both
+# architectures are supported. Weights arrive as a local ``.npz`` built by
+# ``scripts/convert_lpips_weights.py`` (the reference downloads them at
+# runtime, ``modules/utils.py:11-21`` — impossible offline). When no weights
+# are available LPIPS reports ``None`` instead of failing the evaluation.
 
-_VGG_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
-            512, 512, 512, "M", 512, 512, 512]
-_FEATURE_TAPS = (1, 3, 6, 9, 12)  # conv indices after which features are read
 _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
+# layer specs: ("conv", k, stride, pad, c_out) | ("max", k, stride);
+# taps = conv indices (0-based) whose post-relu activation feeds a lin head
+LPIPS_ARCHS = {
+    "vgg": dict(
+        layers=(
+            [("conv", 3, 1, 1, 64), ("conv", 3, 1, 1, 64), ("max", 2, 2),
+             ("conv", 3, 1, 1, 128), ("conv", 3, 1, 1, 128), ("max", 2, 2),
+             ("conv", 3, 1, 1, 256), ("conv", 3, 1, 1, 256),
+             ("conv", 3, 1, 1, 256), ("max", 2, 2),
+             ("conv", 3, 1, 1, 512), ("conv", 3, 1, 1, 512),
+             ("conv", 3, 1, 1, 512), ("max", 2, 2),
+             ("conv", 3, 1, 1, 512), ("conv", 3, 1, 1, 512),
+             ("conv", 3, 1, 1, 512)]
+        ),
+        taps=(1, 3, 6, 9, 12),
+        channels=(64, 128, 256, 512, 512),
+    ),
+    "alex": dict(
+        layers=(
+            [("conv", 11, 4, 2, 64), ("max", 3, 2),
+             ("conv", 5, 1, 2, 192), ("max", 3, 2),
+             ("conv", 3, 1, 1, 384), ("conv", 3, 1, 1, 256),
+             ("conv", 3, 1, 1, 256)]
+        ),
+        taps=(0, 1, 2, 3, 4),
+        channels=(64, 192, 384, 256, 256),
+    ),
+}
+
 
 class LPIPS:
-    """VGG16-backbone LPIPS. ``weights``: dict with conv kernels
-    ``conv{i}/w`` [kh,kw,cin,cout], ``conv{i}/b``, and linear heads
-    ``lin{j}/w`` [1,1,c,1]."""
+    """LPIPS distance. ``weights``: dict with conv kernels ``conv{i}/w``
+    [kh,kw,cin,cout] (HWIO), biases ``conv{i}/b`` [cout], and linear heads
+    ``lin{j}/w`` [1,1,c,1]; ``net_type``: 'vgg' | 'alex'."""
 
-    def __init__(self, weights: dict):
-        self.weights = {k: jnp.asarray(v) for k, v in weights.items()}
+    def __init__(self, weights: dict, net_type: str = "vgg"):
+        self.weights = {k: jnp.asarray(v) for k, v in weights.items()
+                        if not k.startswith("meta")}
+        self.arch = LPIPS_ARCHS[net_type]
+        self.net_type = net_type
 
     @classmethod
-    def from_file(cls, path: str | None = None):
+    def from_file(cls, path: str | None = None, net_type: str | None = None):
         path = path or os.environ.get("LPIPS_WEIGHTS", "")
         if not path or not os.path.exists(path):
             return None
         with np.load(path) as d:
-            return cls(dict(d))
+            weights = dict(d)
+        if net_type is None:
+            net_type = (str(weights["meta_arch"]) if "meta_arch" in weights
+                        else "vgg")
+        return cls(weights, net_type=net_type)
 
     def __call__(self, img: jax.Array, gt: jax.Array) -> jax.Array:
         """img, gt: [H, W, 3] in [0, 1]."""
 
         def feats(x):
-            x = (2.0 * x - 1.0 - _SHIFT) / _SCALE
+            x = (x - _SHIFT) / _SCALE      # z_score on [0,1] input (quirk)
             x = x[None]
             outs = []
             conv_i = 0
-            for spec in _VGG_CFG:
-                if spec == "M":
+            for spec in self.arch["layers"]:
+                if spec[0] == "max":
+                    _, k, s = spec
                     x = jax.lax.reduce_window(
-                        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+                        x, -jnp.inf, jax.lax.max, (1, k, k, 1), (1, s, s, 1),
                         "VALID")
                     continue
+                _, k, s, p, _c = spec
                 w = self.weights[f"conv{conv_i}/w"]
                 b = self.weights[f"conv{conv_i}/b"]
                 x = jax.lax.conv_general_dilated(
-                    x, w, (1, 1), "SAME",
+                    x, w, (s, s), [(p, p), (p, p)],
                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
                 x = jax.nn.relu(x + b)
-                if conv_i in _FEATURE_TAPS:
+                if conv_i in self.arch["taps"]:
                     outs.append(x)
                 conv_i += 1
             return outs
@@ -85,8 +134,8 @@ class LPIPS:
         f1, f2 = feats(img), feats(gt)
         total = 0.0
         for j, (a, b) in enumerate(zip(f1, f2)):
-            a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-10)
-            b = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-10)
+            a = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + 1e-10)
+            b = b / (jnp.linalg.norm(b, axis=-1, keepdims=True) + 1e-10)
             d = (a - b) ** 2
             w = self.weights[f"lin{j}/w"]
             d = jax.lax.conv_general_dilated(

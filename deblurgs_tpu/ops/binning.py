@@ -54,6 +54,19 @@ def _cumsum_1d(x: jax.Array) -> jax.Array:
     return (within + row_off[:, None]).reshape(-1)
 
 
+def _cummax_1d(x: jax.Array) -> jax.Array:
+    """Two-level inclusive cumulative max (same blocking as :func:`_cumsum_1d`)."""
+    n = x.shape[0]
+    cols = 512
+    if n % cols != 0:
+        return jax.lax.cummax(x)
+    within = jax.lax.cummax(x.reshape(n // cols, cols), axis=1)
+    row_max = jax.lax.cummax(within[:, -1])
+    row_off = jnp.concatenate([jnp.full(1, jnp.iinfo(x.dtype).min, x.dtype),
+                               row_max[:-1]])
+    return jnp.maximum(within, row_off[:, None]).reshape(-1)
+
+
 def searchsorted_right(sorted_arr: jax.Array, queries: jax.Array) -> jax.Array:
     """First index i with ``sorted_arr[i] > q`` per query (branchless binary
     search unrolled to ceil(log2(n)) gather rounds). Only profitable when
@@ -83,9 +96,11 @@ class Binning(NamedTuple):
 def expand_slots(area: jax.Array, max_pairs: int):
     """Slot → owning-Gaussian map without per-slot binary search.
 
-    Scatters one marker at each Gaussian's first slot, then a prefix sum
-    recovers the Gaussian index per slot (zero-area Gaussians collapse into
-    the same marker position and are skipped by the jump in the sum).
+    Scatters each emitting Gaussian's id at its first slot, then a running
+    max recovers the owning Gaussian per slot. Only Gaussians with
+    ``area > 0`` scatter, and their start offsets are strictly increasing —
+    so the scatter has **unique indices** (the fast TPU scatter path;
+    duplicate-index scatter-adds serialize).
     Returns (gauss [max_pairs] int32 — clamped to [0, P-1], valid mask,
     local offset within the Gaussian's rect, total emitted count).
     """
@@ -94,8 +109,11 @@ def expand_slots(area: jax.Array, max_pairs: int):
     total = offsets_incl[-1] if P > 0 else jnp.int32(0)
     starts = (offsets_incl - area).astype(jnp.int32)
 
-    marks = jnp.zeros(max_pairs, jnp.int32).at[starts].add(1, mode="drop")
-    gauss = _cumsum_1d(marks) - 1
+    gids = jnp.arange(P, dtype=jnp.int32)
+    scatter_idx = jnp.where(area > 0, starts, max_pairs)
+    marks = jnp.full(max_pairs, -1, jnp.int32).at[scatter_idx].set(
+        gids, mode="drop", unique_indices=True)
+    gauss = _cummax_1d(marks)
     slots = jnp.arange(max_pairs, dtype=jnp.int32)
     valid = slots < jnp.minimum(total, max_pairs)
     gauss = jnp.clip(gauss, 0, P - 1).astype(jnp.int32)

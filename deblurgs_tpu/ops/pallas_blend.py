@@ -17,8 +17,9 @@ below 1e-4") are *exactly*:
 
 because P is non-increasing, so once it crosses the threshold no later pair
 can composite. This turns the sequential recurrence into a cumulative
-product — computed on the **MXU** as ``exp(log(mult) @ utri)`` (``mult ≥
-0.01`` thanks to the 0.99 alpha clamp, so the log is safe).
+product: ``P_{j-1} = U · exp(prefix_excl(log mult))`` (``mult ≥ 0.01``
+thanks to the 0.99 alpha clamp, so the log is safe; the exclusive form
+needs no divide).
 
 **Power as a bilinear form (MXU).** The Gaussian falloff
 ``power = -0.5(ca·dx² + cc·dy²) - cb·dx·dy`` with ``dx = x - px`` is a
@@ -36,20 +37,33 @@ stays exact in float32.
 
 is algebraically identical to the CUDA ``accum_rec`` recurrence (divide
 through by ``P_j``) but runs as a second *forward-order* streaming pass —
-no ``n_contrib`` bookkeeping, no atomics: per-pair gradients are written to
-the pair's own slot (double-buffered DMA) and segment-summed by Gaussian id
-outside the kernel. The per-pair reductions over pixels are *moment
-matmuls*: with ``N = G·dL_dalpha`` all six gradients (mean2d, conic,
-opacity) are linear combinations of ``[1,p,q,p²,q²,pq]ᵀ @ N`` — one MXU
-contraction instead of six elementwise reduction passes.
+no ``n_contrib`` bookkeeping, no atomics: per-pair gradients land in the
+pair's own chunk-aligned slot and are segment-summed by Gaussian id outside
+the kernel. The per-pair reductions over pixels are *moment matmuls*: with
+``N = G·dL_dalpha`` all six gradients (mean2d, conic, opacity) are linear
+combinations of ``[1,p,q,p²,q²,pq]ᵀ @ N`` — one MXU contraction instead of
+six elementwise reduction passes.
+
+**Flat chunk grid.** The grid iterates over *pair chunks* (CHUNK=128
+sorted pairs each), not tiles: a scalar-prefetched ``chunk_tile`` map
+drives the output BlockSpec index maps, so Mosaic's pipeline emitter keeps
+a tile's accumulators resident in VMEM across its chunks, writes them back
+exactly once per tile, and double-buffers every chunk DMA automatically.
+(The previous per-tile ``while_loop`` + hand-rolled DMA design paid ~3 µs
+of loop/DMA-latency overhead per tile — dominant at 1080p's 2k tiles where
+most tiles hold a single chunk.) Per-tile state that must survive chunk
+boundaries (running transmittance, the backward's prefix dot) lives in
+VMEM scratch, reset on each tile's first chunk. Early exit becomes a
+``pl.when`` compute skip; the unused tail of the chunk capacity re-maps its
+input index to the last real chunk so no DMA is issued for it.
 
 **Layout.** In-kernel arrays are [tile_px, CHUNK]: pixels ride the sublane
 axis, pairs the lane axis. Pair fields live in HBM as [16, MPP] so every
-DMA block [16, CHUNK] slices the (128-aligned) lane axis — Mosaic rejects
+[16, CHUNK] block slices the (128-aligned) lane axis — Mosaic rejects
 minor-dim slices narrower than the 128 tiling, so the natural [MPP, 16]
 gather layout is transposed once at prepare time (bandwidth-bound, shared
 by fwd+bwd via the VJP residuals). The pair→aligned-slot relayout is
-gather-only (scatters with duplicate indices serialize on TPU).
+gather/unique-scatter only (duplicate-index scatters serialize on TPU).
 """
 
 from __future__ import annotations
@@ -76,40 +90,61 @@ class Prepared(NamedTuple):
     """Shared fwd/bwd staging (saved as VJP residuals — the backward never
     re-runs the relayout/gather)."""
 
-    fields: jax.Array     # [16, MPP] f32 pair field rows (padding cols = 0)
-    pgp: jax.Array        # [MPP] int32 owning Gaussian id (-1 = padding)
-    pad_start: jax.Array  # [num_tiles] int32 aligned segment starts
-    count: jax.Array      # [num_tiles] int32 real pairs per tile
+    fields: jax.Array       # [16, MPP] f32 pair field rows (padding cols = 0)
+    pgp: jax.Array          # [MPP] int32 owning Gaussian id (-1 = padding)
+    chunk_start: jax.Array  # [num_tiles] int32 first chunk slot per tile
+    count: jax.Array        # [num_tiles] int32 real pairs per tile
+    chunk_tile: jax.Array   # [NC] int32 owning tile per chunk slot
+    src_block: jax.Array    # [NC] int32 DMA source chunk (tail → last used)
+
+
+def _mpp_static(max_pairs: int, num_tiles: int) -> int:
+    """Static chunk-aligned pair capacity: every tile reserves ≥1 chunk
+    (so its output block is visited and initialized) and wastes < CHUNK
+    alignment slots."""
+    return ((max_pairs + CHUNK - 1) // CHUNK) * CHUNK + num_tiles * CHUNK
 
 
 def _align_layout(cfg, pair_gauss, pair_tile, tile_start, tile_stop):
-    """Re-lay sorted pairs so each tile's segment is CHUNK-aligned.
+    """Re-lay sorted pairs so each tile's segment is CHUNK-aligned, and
+    build the flat chunk→tile maps that drive the kernel grid.
 
     ``pair_tile`` (the sorted tile id per pair, sentinel = num_tiles) gives
     each pair's owner directly — no per-pair search. One small row gather +
-    one scatter of ids. Returns (pair_gauss_padded [MPP], pad_start [T],
-    count [T], MPP).
+    one unique-index scatter of ids.
     """
     num_tiles = cfg.num_tiles
     count = (tile_stop - tile_start).astype(jnp.int32)
-    aligned = ((count + CHUNK - 1) // CHUNK) * CHUNK
-    pad_start = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(aligned)[:-1].astype(jnp.int32)]
-    ).astype(jnp.int32)
+    nchunks = jnp.maximum((count + CHUNK - 1) // CHUNK, 1)
+    chunk_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(nchunks)[:-1].astype(jnp.int32)]
+    )
+    used = chunk_start[-1] + nchunks[-1]                  # dynamic ≤ NC
     max_pairs = pair_gauss.shape[0]
-    mpp = max_pairs + num_tiles * (CHUNK - 1)
-    mpp = ((mpp + CHUNK - 1) // CHUNK) * CHUNK
+    mpp = _mpp_static(max_pairs, num_tiles)
+    nc = mpp // CHUNK
 
+    # chunk → tile map: unique scatter of tile ids at each tile's first
+    # chunk, then running max (tail slots inherit the last tile)
+    marks = jnp.full((nc,), -1, jnp.int32).at[chunk_start].set(
+        jnp.arange(num_tiles, dtype=jnp.int32), mode="drop",
+        unique_indices=True)
+    chunk_tile = jnp.clip(jax.lax.cummax(marks), 0, num_tiles - 1)
+    src_block = jnp.minimum(jnp.arange(nc, dtype=jnp.int32), used - 1)
+
+    pad_start = chunk_start * CHUNK
     pos = jnp.arange(max_pairs, dtype=jnp.int32)
     valid = pair_tile < num_tiles
     t_safe = jnp.clip(pair_tile, 0, num_tiles - 1)
     ttable = jnp.stack([pad_start, tile_start.astype(jnp.int32)], axis=-1)
     trows = ttable[t_safe]                               # [max_pairs, 2]
     new_pos = jnp.where(valid, trows[:, 0] + (pos - trows[:, 1]), mpp)
+    # new_pos is injective on valid pairs by construction (distinct aligned
+    # segments per tile) — unique_indices takes the fast scatter path
     pg_padded = jnp.full((mpp,), -1, jnp.int32).at[new_pos].set(
-        pair_gauss, mode="drop"
+        pair_gauss, mode="drop", unique_indices=True
     )
-    return pg_padded, pad_start, count, mpp
+    return pg_padded, chunk_start, count, chunk_tile, src_block
 
 
 def prepare(cfg, pair_gauss, pair_tile, tile_start, tile_stop,
@@ -120,7 +155,7 @@ def prepare(cfg, pair_gauss, pair_tile, tile_start, tile_stop,
     never per-field element gathers — then one bandwidth-bound transpose to
     the DMA-friendly [16, MPP] layout.
     """
-    pgp, pad_start, count, _ = _align_layout(
+    pgp, chunk_start, count, chunk_tile, src_block = _align_layout(
         cfg, pair_gauss, pair_tile, tile_start, tile_stop)
 
     P = means2d.shape[0]
@@ -138,8 +173,8 @@ def prepare(cfg, pair_gauss, pair_tile, tile_start, tile_stop,
         axis=-1,
     )                                                     # [P, 16]
     fields = jnp.where((pgp >= 0)[:, None], table[g], 0.0)  # [MPP, 16]
-    return Prepared(fields=fields.T, pgp=pgp, pad_start=pad_start,
-                    count=count)
+    return Prepared(fields=fields.T, pgp=pgp, chunk_start=chunk_start,
+                    count=count, chunk_tile=chunk_tile, src_block=src_block)
 
 
 def _utri():
@@ -149,6 +184,36 @@ def _utri():
     ri = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
     return (ri <= ci).astype(jnp.float32)
+
+
+import os as _os
+
+_PREFIX_IMPL = _os.environ.get("DEBLURGS_PREFIX_IMPL", "bf16x2")
+
+
+def _prefix_lane(x):
+    """Inclusive prefix sum along the lane (last) axis via a [CHUNK, CHUNK]
+    upper-triangular ones-matmul on the MXU.
+
+    Default: **double-bfloat16** operands (x = hi + lo split) with f32
+    accumulation — two single-pass bf16 matmuls instead of the multi-pass
+    exact-f32 MXU contraction, ~3× faster on a v5e (4.1 ms → 1.3 ms at
+    1080p/100k bench scale) with ≤|x|·2⁻¹⁷ input-rounding error, well
+    inside the kernel's 1e-4 parity budget. ``DEBLURGS_PREFIX_IMPL=f32``
+    selects the exact contraction; a Hillis-Steele lane-rotation scan was
+    also measured and is ~30% slower end-to-end than even the f32 matmul
+    (lane rotations are shuffle ops the VPU doesn't stream).
+    """
+    if _PREFIX_IMPL == "f32":
+        return jnp.dot(x, _utri(), preferred_element_type=jnp.float32)
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    ut = _utri().astype(jnp.bfloat16)
+    dot = functools.partial(
+        jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    return dot(hi, ut) + dot(lo, ut)
 
 
 def _eye(n):
@@ -194,7 +259,7 @@ def _tile_origin(cfg, t):
     return tx0, ty0
 
 
-def _chunk_core(data, tx0, ty0, pf, utri, U, base, cnt):
+def _chunk_core(data, tx0, ty0, pf, U, base, cnt):
     """Shared per-chunk math. ``data``: [16, CHUNK] VMEM block.
 
     Returns per-chunk arrays oriented [PX, CHUNK] plus per-pair rows
@@ -224,8 +289,8 @@ def _chunk_core(data, tx0, ty0, pf, utri, U, base, cnt):
     alpha_eff = jnp.where(elig, alpha, 0.0)
     mult = 1.0 - alpha_eff
     logm = jnp.log(mult)
-    csum = jnp.dot(logm, utri, preferred_element_type=jnp.float32)
-    P_run = U * jnp.exp(csum)                     # inclusive, [PX, CHUNK]
+    csum = _prefix_lane(logm)                     # inclusive prefix
+    P_run = U * jnp.exp(csum)                     # [PX, CHUNK]
     P_prev = P_run / mult
     live = P_run >= _T_EPS
     w = jnp.where(live, alpha_eff * P_prev, 0.0)
@@ -234,130 +299,77 @@ def _chunk_core(data, tx0, ty0, pf, utri, U, base, cnt):
                 xl=xl, yl=yl, ca=ca, cb=cb, cc=cc, opac=opac, col=col)
 
 
-def _forward_kernel(cfg, pad_start_ref, count_ref, fields_hbm,
-                    cd_out, t_out, ncon_out, buf, sems):
-    t = pl.program_id(0)
-    start = pad_start_ref[t]
-    cnt = count_ref[t]
-    nchunks = pl.cdiv(cnt, CHUNK)
-    pf = _pixel_features(cfg)
-    tx0, ty0 = _tile_origin(cfg, t)
-    utri = _utri()
+def _forward_kernel(cfg, ct_ref, cs_ref, cnt_ref, src_ref,
+                    fields_ref, cd_out, t_out, ncon_out, u_scr):
+    c = pl.program_id(0)
+    t = ct_ref[c]
+    base = (c - cs_ref[t]) * CHUNK
+    cnt = cnt_ref[t]
     px_n = cfg.tile_px
 
-    def dma(slot, q):
-        off = pl.multiple_of(start + q * CHUNK, CHUNK)
-        return pltpu.make_async_copy(
-            fields_hbm.at[:, pl.ds(off, CHUNK)],
-            buf.at[slot],
-            sems.at[slot],
-        )
-
-    @pl.when(nchunks > 0)
+    @pl.when(base == 0)
     def _():
-        dma(0, 0).start()
+        # first chunk of this tile: reset accumulators (the out blocks were
+        # just switched to this tile by the pipeline)
+        u_scr[...] = jnp.ones((px_n, 1), jnp.float32)
+        cd_out[0] = jnp.zeros((4, px_n), jnp.float32)
+        t_out[0] = jnp.ones((1, px_n), jnp.float32)
+        ncon_out[0] = jnp.zeros((1, px_n), jnp.int32)
 
-    def cond(state):
-        q, U, T_out, CD, ncon = state
-        # U is the *unfrozen* running product; once it crosses the
-        # threshold nothing later can composite (P is non-increasing)
-        return (q < nchunks) & (jnp.max(U) >= _T_EPS)
+    U = u_scr[...]
 
-    def body(state):
-        q, U, T_out, CD, ncon = state
-        slot = jax.lax.rem(q, 2)
-
-        @pl.when(q + 1 < nchunks)
-        def _():
-            dma(1 - slot, q + 1).start()
-
-        dma(slot, q).wait()
-        data = buf[slot]                                 # [16, CHUNK]
-        c = _chunk_core(data, tx0, ty0, pf, utri, U, q * CHUNK, cnt)
-        P_run, w, comp = c["P_run"], c["w"], c["comp"]
+    @pl.when((base < cnt) & (jnp.max(U) >= _T_EPS))
+    def _():
+        pf = _pixel_features(cfg)
+        tx0, ty0 = _tile_origin(cfg, t)
+        data = fields_ref[...]                           # [16, CHUNK]
+        cc = _chunk_core(data, tx0, ty0, pf, U, base, cnt)
+        P_run, w, comp = cc["P_run"], cc["w"], cc["comp"]
 
         # color+depth accumulation: [4, CHUNK] ⨯ [PX, CHUNK] → [4, PX] (MXU)
-        CD = CD + jax.lax.dot_general(
+        cd_out[0] += jax.lax.dot_general(
             data[6:10, :], w, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-
         if cfg.need_n_contrib:
-            idx1 = (q * CHUNK + c["col"] + 1).astype(jnp.float32)
-            ncon = jnp.maximum(
-                ncon,
-                jnp.max(jnp.where(comp, idx1, 0.0), axis=1, keepdims=True),
-            )
+            idx1 = (base + cc["col"] + 1).astype(jnp.float32)
+            ncon_f = jnp.max(jnp.where(comp, idx1, 0.0), axis=1,
+                             keepdims=True)
+            ncon_out[0] = jnp.maximum(ncon_out[0],
+                                      _col_to_row(ncon_f).astype(jnp.int32))
         # frozen output T = last composited P; unfrozen U keeps multiplying
-        T_out = jnp.minimum(
-            T_out, jnp.min(jnp.where(comp, P_run, 2.0), axis=1, keepdims=True)
-        )
-        U_next = P_run[:, CHUNK - 1:]
-        return q + 1, U_next, T_out, CD, ncon
-
-    init = (
-        jnp.int32(0),
-        jnp.ones((px_n, 1), jnp.float32),
-        jnp.ones((px_n, 1), jnp.float32),
-        jnp.zeros((4, px_n), jnp.float32),
-        jnp.zeros((px_n, 1), jnp.float32),
-    )
-    _, _, T_fin, CD, ncon = jax.lax.while_loop(cond, body, init)
-    cd_out[0] = CD
-    t_out[0] = _col_to_row(T_fin)
-    ncon_out[0] = _col_to_row(ncon).astype(jnp.int32)
+        t_new = jnp.min(jnp.where(comp, P_run, 2.0), axis=1, keepdims=True)
+        t_out[0] = jnp.minimum(t_out[0], _col_to_row(t_new))
+        u_scr[...] = P_run[:, CHUNK - 1:]
 
 
-def _backward_kernel(cfg, pad_start_ref, count_ref, fields_hbm, dl_in,
-                     bgdot_in, grads_in_alias, grads_out,
-                     buf, gbuf, sems, gsems):
-    t = pl.program_id(0)
-    start = pad_start_ref[t]
-    cnt = count_ref[t]
-    nchunks = pl.cdiv(cnt, CHUNK)
-    pf = _pixel_features(cfg)
-    tx0, ty0 = _tile_origin(cfg, t)
-    utri = _utri()
+def _backward_kernel(cfg, ct_ref, cs_ref, cnt_ref, src_ref,
+                     fields_ref, dl_ref, bgdot_ref, grads_out,
+                     u_scr, w_scr):
+    c = pl.program_id(0)
+    t = ct_ref[c]
+    base = (c - cs_ref[t]) * CHUNK
+    cnt = cnt_ref[t]
     px_n = cfg.tile_px
 
-    dl = dl_in[0]                         # [4, PX]: color rows 0-2, depth 3
-    bgdot = _row_to_col(bgdot_in[0])      # [PX, 1]
-
-    def dma_in(slot, q):
-        off = pl.multiple_of(start + q * CHUNK, CHUNK)
-        return pltpu.make_async_copy(
-            fields_hbm.at[:, pl.ds(off, CHUNK)],
-            buf.at[slot],
-            sems.at[slot],
-        )
-
-    def copy_out(slot, q):
-        off = pl.multiple_of(start + q * CHUNK, CHUNK)
-        return pltpu.make_async_copy(
-            gbuf.at[slot], grads_out.at[:, pl.ds(off, CHUNK)], gsems.at[slot]
-        )
-
-    @pl.when(nchunks > 0)
+    @pl.when(base == 0)
     def _():
-        dma_in(0, 0).start()
+        u_scr[...] = jnp.ones((px_n, 1), jnp.float32)
+        w_scr[...] = jnp.zeros((px_n, 1), jnp.float32)
 
-    def cond(state):
-        q, U, W_run = state
-        return (q < nchunks) & (jnp.max(U) >= _T_EPS)
+    U = u_scr[...]
+    compute = (base < cnt) & (jnp.max(U) >= _T_EPS)
 
-    def body(state):
-        q, U, W_run = state
-        slot = jax.lax.rem(q, 2)
-
-        @pl.when(q + 1 < nchunks)
-        def _():
-            dma_in(1 - slot, q + 1).start()
-
-        dma_in(slot, q).wait()
-        data = buf[slot]
-        c = _chunk_core(data, tx0, ty0, pf, utri, U, q * CHUNK, cnt)
-        G, mult, P_prev, w, comp = (c["G"], c["mult"], c["P_prev"], c["w"],
-                                    c["comp"])
+    @pl.when(compute)
+    def _():
+        pf = _pixel_features(cfg)
+        tx0, ty0 = _tile_origin(cfg, t)
+        data = fields_ref[...]
+        cc = _chunk_core(data, tx0, ty0, pf, U, base, cnt)
+        G, mult, P_prev, w, comp = (cc["G"], cc["mult"], cc["P_prev"],
+                                    cc["w"], cc["comp"])
+        dl = dl_ref[0]                        # [4, PX]: color 0-2, depth 3
+        bgdot = _row_to_col(bgdot_ref[0])     # [PX, 1]
 
         # per-pair dl·c: [4, PX] ⨯ [4, CHUNK] → [PX, CHUNK] (MXU)
         dl_dot_c = jax.lax.dot_general(
@@ -369,8 +381,7 @@ def _backward_kernel(cfg, pad_start_ref, count_ref, fields_hbm, dl_in,
         # bgdot_in = dl·Σtotal + T_fin·(bg·dL_color + zfar·dL_depth), so
         # S_j = Σ_{k>j} w_k (dl·c_k) + T_fin·bg_dot = bgdot_in − dlW_j
         wc = w * dl_dot_c                                  # [PX, CHUNK]
-        prefix_wc = jnp.dot(wc, utri, preferred_element_type=jnp.float32)
-        dlW = W_run + prefix_wc                            # inclusive
+        dlW = w_scr[...] + _prefix_lane(wc)                # inclusive
         S = bgdot - dlW
         dL_dalpha = jnp.where(comp, dl_dot_c * P_prev - S / mult, 0.0)
 
@@ -382,8 +393,8 @@ def _backward_kernel(cfg, pad_start_ref, count_ref, fields_hbm, dl_in,
             pf, N, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                  # [8, CHUNK]
-        xl, yl = c["xl"], c["yl"]
-        ca, cb, cc, opac = c["ca"], c["cb"], c["cc"], c["opac"]
+        xl, yl = cc["xl"], cc["yl"]
+        ca, cb, ccc, opac = cc["ca"], cc["cb"], cc["cc"], cc["opac"]
         M0 = opac * mom[0:1, :]
         M1 = opac * mom[1:2, :]
         M2 = opac * mom[2:3, :]
@@ -393,67 +404,54 @@ def _backward_kernel(cfg, pad_start_ref, count_ref, fields_hbm, dl_in,
         Sx = xl * M0 - M1                # Σ M·dx   (dx = xl − p)
         Sy = yl * M0 - M2                # Σ M·dy
         dmx = -ca * Sx - cb * Sy
-        dmy = -cc * Sy - cb * Sx
+        dmy = -ccc * Sy - cb * Sx
         dca = -0.5 * (xl * xl * M0 - 2.0 * xl * M1 + M3)
         dcb = -(xl * yl * M0 - xl * M2 - yl * M1 + M5)
         dcc = -0.5 * (yl * yl * M0 - 2.0 * yl * M2 + M4)
         dop = mom[0:1, :]                # Σ G·dL_dalpha
         # per-pair color/depth grads: [4, PX] ⨯ [PX, CHUNK] → [4, CHUNK]
         dcold = jnp.dot(dl, w, preferred_element_type=jnp.float32)
-        gout = jnp.concatenate(
+        grads_out[...] = jnp.concatenate(
             [dmx, dmy, dca, dcb, dcc, dop, dcold,
              jnp.zeros((NFIELD - 10, CHUNK), jnp.float32)],
             axis=0,
         )                                                  # [16, CHUNK]
 
-        # double-buffered write-back: wait only for the copy issued two
-        # iterations ago before reusing its slot
-        @pl.when(q >= 2)
-        def _():
-            copy_out(slot, q - 2).wait()
+        u_scr[...] = cc["P_run"][:, CHUNK - 1:]
+        w_scr[...] = dlW[:, CHUNK - 1:]
 
-        gbuf[slot] = gout
-        copy_out(slot, q).start()
-
-        U_next = c["P_run"][:, CHUNK - 1:]
-        W_next = dlW[:, CHUNK - 1:]
-        return q + 1, U_next, W_next
-
-    init = (
-        jnp.int32(0),
-        jnp.ones((px_n, 1), jnp.float32),
-        jnp.zeros((px_n, 1), jnp.float32),
-    )
-    q_fin, _, _ = jax.lax.while_loop(cond, body, init)
-
-    # drain the (up to two) outstanding write-backs
-    @pl.when(q_fin >= 1)
+    @pl.when(jnp.logical_not(compute))
     def _():
-        copy_out(jax.lax.rem(q_fin - 1, 2), q_fin - 1).wait()
-
-    @pl.when(q_fin >= 2)
-    def _():
-        copy_out(jax.lax.rem(q_fin, 2), q_fin - 2).wait()
+        # skipped chunks (early-exit or capacity tail) still own real slots
+        # in the output — their gradient contribution is exactly zero
+        grads_out[...] = jnp.zeros((NFIELD, CHUNK), jnp.float32)
 
 
 def forward(cfg, prep: Prepared):
     """Pallas forward. Returns tiled (C [T,PX,3], D [T,PX], T, n_con)."""
     nt, px_n = cfg.num_tiles, cfg.tile_px
+    nc = prep.chunk_tile.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nt,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        num_scalar_prefetch=4,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((NFIELD, CHUNK),
+                         lambda c, ct, cs, cnt, src: (0, src[c]),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=[
-            pl.BlockSpec((1, 4, px_n), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, 4, px_n),
+                         lambda c, ct, cs, cnt, src: (ct[c], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, px_n), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, 1, px_n),
+                         lambda c, ct, cs, cnt, src: (ct[c], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, px_n), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, 1, px_n),
+                         lambda c, ct, cs, cnt, src: (ct[c], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, NFIELD, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((px_n, 1), jnp.float32),
         ],
     )
     cd, t_fin, ncon = pl.pallas_call(
@@ -465,7 +463,8 @@ def forward(cfg, prep: Prepared):
             jax.ShapeDtypeStruct((nt, 1, px_n), jnp.int32),
         ],
         interpret=cfg.interpret,
-    )(prep.pad_start, prep.count, prep.fields)
+    )(prep.chunk_tile, prep.chunk_start, prep.count, prep.src_block,
+      prep.fields)
     C = jnp.moveaxis(cd[:, :3, :], 1, 2)        # [T, PX, 3]
     D = cd[:, 3, :]
     return C, D, t_fin[:, 0, :], ncon[:, 0, :]
@@ -478,6 +477,7 @@ def backward(cfg, prep: Prepared, num_gaussians, bg,
     ``C_t``/``D_t``: the forward's pre-background color/depth sums — used
     for the total−prefix suffix trick."""
     nt, px_n = cfg.num_tiles, cfg.tile_px
+    nc = prep.chunk_tile.shape[0]
     dl = jnp.concatenate(
         [jnp.moveaxis(dL_dpix_t, 2, 1), dL_dpixd_t[:, None, :]], axis=1
     )                                                     # [T, 4, PX]
@@ -486,36 +486,37 @@ def backward(cfg, prep: Prepared, num_gaussians, bg,
     bgdot_full = sigma_dot + final_T_t * bg_dot                       # [T, PX]
 
     mpp = prep.fields.shape[1]
-    grads_zero = jnp.zeros((NFIELD, mpp), jnp.float32)
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nt,),
+        num_scalar_prefetch=4,
+        grid=(nc,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),                   # fields
-            pl.BlockSpec((1, 4, px_n), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),                  # dl
-            pl.BlockSpec((1, 1, px_n), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),                  # bgdot'
-            pl.BlockSpec(memory_space=pltpu.HBM),                   # grads in
+            pl.BlockSpec((NFIELD, CHUNK),
+                         lambda c, ct, cs, cnt, src: (0, src[c]),
+                         memory_space=pltpu.VMEM),         # fields
+            pl.BlockSpec((1, 4, px_n),
+                         lambda c, ct, cs, cnt, src: (ct[c], 0, 0),
+                         memory_space=pltpu.VMEM),         # dl
+            pl.BlockSpec((1, 1, px_n),
+                         lambda c, ct, cs, cnt, src: (ct[c], 0, 0),
+                         memory_space=pltpu.VMEM),         # bgdot'
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=[
+            pl.BlockSpec((NFIELD, CHUNK),
+                         lambda c, ct, cs, cnt, src: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
         scratch_shapes=[
-            pltpu.VMEM((2, NFIELD, CHUNK), jnp.float32),
-            pltpu.VMEM((2, NFIELD, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((px_n, 1), jnp.float32),
+            pltpu.VMEM((px_n, 1), jnp.float32),
         ],
     )
     pair_grads = pl.pallas_call(
         functools.partial(_backward_kernel, cfg),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((NFIELD, mpp), jnp.float32)],
-        input_output_aliases={5: 0},
         interpret=cfg.interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(prep.pad_start, prep.count, prep.fields, dl,
-      bgdot_full[:, None, :], grads_zero)[0]
+    )(prep.chunk_tile, prep.chunk_start, prep.count, prep.src_block,
+      prep.fields, dl, bgdot_full[:, None, :])[0]
 
     # segment-sum pair grads by Gaussian id (deterministic, atomics-free)
     P = num_gaussians

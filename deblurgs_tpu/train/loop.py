@@ -136,7 +136,10 @@ class Trainer:
                 cs=self.scene.camera_static, sh_degree=sh_degree,
                 n_sub=n_sub, tone_mapping=self.tone_mapping,
                 spatial_lr_scale=float(self.scene.cameras_extent),
-                random_sample=random_sample, mesh=mesh,
+                random_sample=random_sample,
+                white_background=getattr(self.scene, "white_background",
+                                         False),
+                mesh=mesh,
             )
             self._step_cache[key] = step_lib.make_train_step(st)
         return self._step_cache[key]

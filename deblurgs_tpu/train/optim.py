@@ -41,6 +41,7 @@ def update(
     b2: float = 0.999,
     eps: float = 1e-15,
     update_mask: Pytree | None = None,
+    leaf_gate: Pytree | None = None,
 ) -> tuple[Pytree, AdamState]:
     """One Adam step (torch.optim.Adam semantics).
 
@@ -51,6 +52,12 @@ def update(
         frozen leaves also skip moment/step updates, matching torch
         ``requires_grad=False``), or a [P]-bool row mask (inactive capacity
         slots keep params *and* moments untouched).
+      leaf_gate: optional pytree of scalar bools ANDed into the per-leaf
+        gate *in addition to* a row-mask ``update_mask`` — used for the
+        reference's "fresh tensors have no grads" semantics: on densify /
+        opacity-reset iterations the surgered tensors skip the whole Adam
+        step, moments and step count included (torch skips ``grad is
+        None`` params; reference ``train.py:195-210``).
     """
     flat_p, treedef = jax.tree.flatten(params)
     flat_g = treedef.flatten_up_to(grads)
@@ -62,10 +69,15 @@ def update(
         treedef.flatten_up_to(update_mask) if update_mask is not None
         else [None] * len(flat_p)
     )
+    flat_gate = (
+        treedef.flatten_up_to(leaf_gate) if leaf_gate is not None
+        else [None] * len(flat_p)
+    )
 
     new_p, new_mu, new_nu, new_st = [], [], [], []
-    for p, g, mu, nu, st, lr_i, m in zip(
-        flat_p, flat_g, flat_mu, flat_nu, flat_st, flat_lr, flat_mask
+    for p, g, mu, nu, st, lr_i, m, gate in zip(
+        flat_p, flat_g, flat_mu, flat_nu, flat_st, flat_lr, flat_mask,
+        flat_gate
     ):
         row_mask = None
         leaf_on = jnp.asarray(True)
@@ -75,6 +87,8 @@ def update(
                 leaf_on = m
             else:
                 row_mask = m.reshape(m.shape + (1,) * (p.ndim - m.ndim))
+        if gate is not None:
+            leaf_on = leaf_on & jnp.asarray(gate)
 
         st2 = st + leaf_on.astype(jnp.int32)
         t = jnp.maximum(st2, 1).astype(jnp.float32)

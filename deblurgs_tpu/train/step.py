@@ -56,6 +56,7 @@ class TrainStatics:
     tone_mapping: str = "gamma"
     spatial_lr_scale: float = 1.0
     random_sample: bool = False
+    white_background: bool = False  # extra opacity reset at densify_from_iter
     mesh: object = None        # jax.sharding.Mesh → shard the sub-frame axis
 
 
@@ -201,24 +202,8 @@ def train_step(state: TrainState, gt_image: jax.Array, cam_idx: jax.Array,
             ocfg.curve_alignment_start, ocfg.iterations),
     )
 
-    # --- masks: gaussian rows by active; curve leaves by phase
-    # (reference alternate_optimization flips requires_grad at
-    # curve_start/end, train.py:114-116)
-    active = state.aux.active
-    mask_g = gm.GaussianParams(*([active] * 6))
-    curve_on = (step >= ocfg.curve_start_iter) & (step < ocfg.curve_end_iter)
-    mask_m = motion_lib.MotionParams(
-        rot_ctrl=curve_on, trans_ctrl=curve_on, nu=curve_on
-    )
-
-    new_params, adam_g = optim.update(
-        state.params, g_params, state.adam_g, lr_g, update_mask=mask_g
-    )
-    new_motion, adam_m = optim.update(
-        state.motion, g_motion, state.adam_m, lr_m, update_mask=mask_m
-    )
-
-    # --- densification bookkeeping (reference train.py:187-199)
+    # --- densification bookkeeping (reference train.py:187-193; stats are
+    # accumulated from this step's grads BEFORE any event or Adam step)
     aux = state.aux
     do_stats = step < ocfg.densify_until_iter
     vis = radii > 0                                              # [n_sub, P]
@@ -235,7 +220,8 @@ def train_step(state: TrainState, gt_image: jax.Array, cam_idx: jax.Array,
                               aux.max_radii2d),
     )
 
-    # --- densify / prune event (traced cond; reference train.py:195-199)
+    # --- densify / prune event BEFORE the Adam step, on the pre-update
+    # params — reference order (train.py:195-199 precedes :203-208)
     thr = schedules.expon_lr(step, ocfg.densify_grad_threshold_init,
                              ocfg.densify_grad_threshold_final,
                              max_steps=ocfg.densify_annealing_until)
@@ -256,11 +242,16 @@ def train_step(state: TrainState, gt_image: jax.Array, cam_idx: jax.Array,
         return p, a, ad, densify_lib.DensifyReport(zero, zero, zero, zero)
 
     new_params, aux, adam_g, report = jax.lax.cond(
-        do_densify, densify_branch, no_densify, (new_params, aux, adam_g)
+        do_densify, densify_branch, no_densify,
+        (state.params, aux, state.adam_g)
     )
 
-    # --- opacity reset (reference train.py:201)
-    do_reset = do_stats & (step % ocfg.opacity_reset_interval == 0)
+    # --- opacity reset (reference train.py:201; extra trigger at
+    # densify_from_iter for white-background datasets)
+    do_reset = do_stats & (
+        (step % ocfg.opacity_reset_interval == 0)
+        | (st.white_background & (step == ocfg.densify_from_iter))
+    )
 
     def reset_branch(args):
         p, ad = args
@@ -268,6 +259,33 @@ def train_step(state: TrainState, gt_image: jax.Array, cam_idx: jax.Array,
 
     new_params, adam_g = jax.lax.cond(
         do_reset, reset_branch, lambda a: a, (new_params, adam_g)
+    )
+
+    # --- Adam step (reference train.py:203-208). Surgered tensors have no
+    # grads in the reference, so on densify iterations ALL gaussian leaves
+    # skip this step (moments and step count included); on reset-only
+    # iterations the opacity leaf skips; the final iteration skips entirely
+    # (`if iteration < opt.iterations`).
+    active = aux.active
+    mask_g = gm.GaussianParams(*([active] * 6))
+    curve_on = (step >= ocfg.curve_start_iter) & (step < ocfg.curve_end_iter)
+    not_final = step < ocfg.iterations
+    g_on = not_final & jnp.logical_not(do_densify)
+    gate_g = gm.GaussianParams(
+        xyz=g_on, f_dc=g_on, f_rest=g_on, scaling=g_on, rotation=g_on,
+        opacity=g_on & jnp.logical_not(do_reset),
+    )
+    mask_m = motion_lib.MotionParams(
+        rot_ctrl=curve_on & not_final, trans_ctrl=curve_on & not_final,
+        nu=curve_on & not_final,
+    )
+
+    new_params, adam_g = optim.update(
+        new_params, g_params, adam_g, lr_g, update_mask=mask_g,
+        leaf_gate=gate_g,
+    )
+    new_motion, adam_m = optim.update(
+        state.motion, g_motion, state.adam_m, lr_m, update_mask=mask_m
     )
 
     metrics = StepMetrics(

