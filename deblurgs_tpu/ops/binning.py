@@ -139,23 +139,30 @@ def bin_gaussians(
     area = pre.tiles_touched.astype(jnp.int32)
     gauss, valid, local, total = expand_slots(area, max_pairs)
 
-    # packed per-Gaussian attribute table → one fast row gather
-    table = jnp.concatenate(
-        [
-            jax.lax.bitcast_convert_type(pre.rect, jnp.float32),  # 4 cols
-            pre.depth[:, None],
-            jnp.zeros((P, 3), jnp.float32),
-        ],
+    # packed per-Gaussian attribute table → one fast row gather.
+    # Rect coords are stored as exact f32 VALUES (they are < 2^24), never
+    # bitcast: small-int bit patterns are f32 denormals, and TPU flushes
+    # denormals to zero in any arithmetic/layout op — a bitcast round trip
+    # silently zeroed rect origins on real hardware (CPU tests can't see it)
+    x0f = pre.rect[:, 0].astype(jnp.float32)
+    y0f = pre.rect[:, 1].astype(jnp.float32)
+    wf = jnp.maximum(pre.rect[:, 2] - pre.rect[:, 0], 1).astype(jnp.float32)
+    table = jnp.stack(
+        [x0f, y0f, wf, pre.depth,
+         jnp.zeros_like(wf), jnp.zeros_like(wf),
+         jnp.zeros_like(wf), jnp.zeros_like(wf)],
         axis=-1,
     )                                                            # [P, 8]
     rows = table[gauss]                                          # [max_pairs, 8]
-    rect = jax.lax.bitcast_convert_type(rows[:, :4], jnp.int32)
-    depth_key = rows[:, 4]
+    depth_key = rows[:, 3]
 
-    width = jnp.maximum(rect[:, 2] - rect[:, 0], 1)
-    dy = local // width
-    dx = local - dy * width
-    tile = (rect[:, 1] + dy) * tiles_x + (rect[:, 0] + dx)
+    # f32 arithmetic is exact here: local < rect area ≤ num_tiles < 2^24,
+    # and a/b for ints with b ≤ tiles_x is never within 2^-13 of a wrong
+    # integer boundary
+    localf = local.astype(jnp.float32)
+    dy = jnp.floor(localf / rows[:, 2])
+    dx = localf - dy * rows[:, 2]
+    tile = ((rows[:, 1] + dy) * tiles_x + (rows[:, 0] + dx)).astype(jnp.int32)
 
     tile = jnp.where(valid, tile, num_tiles).astype(jnp.int32)
     depth_key = jnp.where(valid, depth_key, jnp.inf).astype(jnp.float32)

@@ -17,9 +17,8 @@ below 1e-4") are *exactly*:
 
 because P is non-increasing, so once it crosses the threshold no later pair
 can composite. This turns the sequential recurrence into a cumulative
-product: ``P_{j-1} = U · exp(prefix_excl(log mult))`` (``mult ≥ 0.01``
-thanks to the 0.99 alpha clamp, so the log is safe; the exclusive form
-needs no divide).
+product — ``U · exp(prefix(log mult))`` with the prefix sum computed on the
+MXU (``mult ≥ 0.01`` thanks to the 0.99 alpha clamp, so the log is safe).
 
 **Power as a bilinear form (MXU).** The Gaussian falloff
 ``power = -0.5(ca·dx² + cc·dy²) - cb·dx·dy`` with ``dx = x - px`` is a
@@ -38,37 +37,39 @@ stays exact in float32.
 is algebraically identical to the CUDA ``accum_rec`` recurrence (divide
 through by ``P_j``) but runs as a second *forward-order* streaming pass —
 no ``n_contrib`` bookkeeping, no atomics: per-pair gradients land in the
-pair's own chunk-aligned slot and are segment-summed by Gaussian id outside
-the kernel. The per-pair reductions over pixels are *moment matmuls*: with
-``N = G·dL_dalpha`` all six gradients (mean2d, conic, opacity) are linear
-combinations of ``[1,p,q,p²,q²,pq]ᵀ @ N`` — one MXU contraction instead of
-six elementwise reduction passes.
+pair's own slot of the sorted pair array and are segment-summed by Gaussian
+id outside the kernel. The per-pair reductions over pixels are *moment
+matmuls*: with ``N = G·dL_dalpha`` all six gradients (mean2d, conic,
+opacity) are linear combinations of ``[1,p,q,p²,q²,pq]ᵀ @ N`` — one MXU
+contraction instead of six elementwise reduction passes.
 
-**Flat chunk grid.** The grid iterates over *pair chunks* (CHUNK=128
-sorted pairs each), not tiles: a scalar-prefetched ``chunk_tile`` map
-drives the output BlockSpec index maps, so Mosaic's pipeline emitter keeps
-a tile's accumulators resident in VMEM across its chunks, writes them back
-exactly once per tile, and double-buffers every chunk DMA automatically.
-(The previous per-tile ``while_loop`` + hand-rolled DMA design paid ~3 µs
-of loop/DMA-latency overhead per tile — dominant at 1080p's 2k tiles where
-most tiles hold a single chunk.) Per-tile state that must survive chunk
-boundaries (running transmittance, the backward's prefix dot) lives in
-VMEM scratch, reset on each tile's first chunk. Early exit becomes a
-``pl.when`` compute skip; the unused tail of the chunk capacity re-maps its
-input index to the last real chunk so no DMA is issued for it.
+**Compact pairs, (tile × chunk-overlap) grid.** The kernels consume the
+depth-sorted pair array *in place* — no CHUNK-aligned relayout. (An earlier
+design scattered pairs into per-tile aligned segments; the relayout scatter
+plus the alignment-padded field gather cost ~2.5 ms at 1080p/100k — TPU
+gathers/scatters pay per ROW, so the ~1.8× row inflation from padding was
+pure loss.) The grid enumerates (tile, overlapped-chunk) pairs: a 128-pair
+chunk that straddles a tile boundary is visited once per tile with
+complementary column masks, and since the visits are consecutive the
+fields block is NOT re-fetched (Mosaic skips DMA on repeated block
+indices). Scalar-prefetched maps drive the BlockSpec index maps; a tile's
+output accumulators stay resident in VMEM across its steps and are written
+back once. Per-tile running state (transmittance, the backward's prefix
+dot) lives in VMEM scratch, reset on each tile's first step. Early exit
+becomes a ``pl.when`` compute skip.
 
 **Layout.** In-kernel arrays are [tile_px, CHUNK]: pixels ride the sublane
-axis, pairs the lane axis. Pair fields live in HBM as [16, MPP] so every
-[16, CHUNK] block slices the (128-aligned) lane axis — Mosaic rejects
-minor-dim slices narrower than the 128 tiling, so the natural [MPP, 16]
-gather layout is transposed once at prepare time (bandwidth-bound, shared
-by fwd+bwd via the VJP residuals). The pair→aligned-slot relayout is
-gather/unique-scatter only (duplicate-index scatters serialize on TPU).
+axis, pairs the lane axis. Pair fields live in HBM as [16, max_pairs] so
+every [16, CHUNK] block slices the (128-aligned) lane axis — Mosaic rejects
+minor-dim slices narrower than the 128 tiling, so the natural [max_pairs,
+16] gather layout is transposed once at prepare time (bandwidth-bound,
+shared by fwd+bwd via the VJP residuals).
 """
 
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import NamedTuple
 
 import jax
@@ -88,79 +89,65 @@ NFIELD = 16
 
 class Prepared(NamedTuple):
     """Shared fwd/bwd staging (saved as VJP residuals — the backward never
-    re-runs the relayout/gather)."""
+    re-runs the field gather or the step maps)."""
 
-    fields: jax.Array       # [16, MPP] f32 pair field rows (padding cols = 0)
-    pgp: jax.Array          # [MPP] int32 owning Gaussian id (-1 = padding)
-    chunk_start: jax.Array  # [num_tiles] int32 first chunk slot per tile
-    count: jax.Array        # [num_tiles] int32 real pairs per tile
-    chunk_tile: jax.Array   # [NC] int32 owning tile per chunk slot
-    src_block: jax.Array    # [NC] int32 DMA source chunk (tail → last used)
-
-
-def _mpp_static(max_pairs: int, num_tiles: int) -> int:
-    """Static chunk-aligned pair capacity: every tile reserves ≥1 chunk
-    (so its output block is visited and initialized) and wastes < CHUNK
-    alignment slots."""
-    return ((max_pairs + CHUNK - 1) // CHUNK) * CHUNK + num_tiles * CHUNK
+    fields: jax.Array      # [16, max_pairs] f32 pair field rows
+    pair_gauss: jax.Array  # [max_pairs] int32 owning Gaussian (P = invalid)
+    tile_start: jax.Array  # [num_tiles] int32 into the sorted pair array
+    tile_stop: jax.Array   # [num_tiles] int32 one-past-end
+    step_tile: jax.Array   # [NS] int32 tile per grid step
+    step_chunk: jax.Array  # [NS] int32 source chunk per grid step
+    step_start: jax.Array  # [num_tiles] int32 first grid step per tile
+    chunk_first: jax.Array  # [NS] int32 1 = first step writing this chunk
 
 
-def _align_layout(cfg, pair_gauss, pair_tile, tile_start, tile_stop):
-    """Re-lay sorted pairs so each tile's segment is CHUNK-aligned, and
-    build the flat chunk→tile maps that drive the kernel grid.
-
-    ``pair_tile`` (the sorted tile id per pair, sentinel = num_tiles) gives
-    each pair's owner directly — no per-pair search. One small row gather +
-    one unique-index scatter of ids.
-    """
-    num_tiles = cfg.num_tiles
-    count = (tile_stop - tile_start).astype(jnp.int32)
-    nchunks = jnp.maximum((count + CHUNK - 1) // CHUNK, 1)
-    chunk_start = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(nchunks)[:-1].astype(jnp.int32)]
-    )
-    used = chunk_start[-1] + nchunks[-1]                  # dynamic ≤ NC
-    max_pairs = pair_gauss.shape[0]
-    mpp = _mpp_static(max_pairs, num_tiles)
-    nc = mpp // CHUNK
-
-    # chunk → tile map: unique scatter of tile ids at each tile's first
-    # chunk, then running max (tail slots inherit the last tile)
-    marks = jnp.full((nc,), -1, jnp.int32).at[chunk_start].set(
-        jnp.arange(num_tiles, dtype=jnp.int32), mode="drop",
-        unique_indices=True)
-    chunk_tile = jnp.clip(jax.lax.cummax(marks), 0, num_tiles - 1)
-    src_block = jnp.minimum(jnp.arange(nc, dtype=jnp.int32), used - 1)
-
-    pad_start = chunk_start * CHUNK
-    pos = jnp.arange(max_pairs, dtype=jnp.int32)
-    valid = pair_tile < num_tiles
-    t_safe = jnp.clip(pair_tile, 0, num_tiles - 1)
-    ttable = jnp.stack([pad_start, tile_start.astype(jnp.int32)], axis=-1)
-    trows = ttable[t_safe]                               # [max_pairs, 2]
-    new_pos = jnp.where(valid, trows[:, 0] + (pos - trows[:, 1]), mpp)
-    # new_pos is injective on valid pairs by construction (distinct aligned
-    # segments per tile) — unique_indices takes the fast scatter path
-    pg_padded = jnp.full((mpp,), -1, jnp.int32).at[new_pos].set(
-        pair_gauss, mode="drop", unique_indices=True
-    )
-    return pg_padded, chunk_start, count, chunk_tile, src_block
+def _num_steps_static(max_pairs: int, num_tiles: int) -> int:
+    """Upper bound on (tile, overlapped-chunk) grid steps: each tile covers
+    ≤ cnt/CHUNK + 1 chunks (⇒ Σ ≤ max_pairs/CHUNK + T) and empty tiles
+    claim one mask-empty step each (already inside the +T)."""
+    return max_pairs // CHUNK + num_tiles
 
 
 def prepare(cfg, pair_gauss, pair_tile, tile_start, tile_stop,
             means2d, conic, opacity, color, depth) -> Prepared:
-    """Relayout + field gather shared by forward and backward.
+    """Field gather + step maps shared by forward and backward.
 
-    One row gather from a packed [P, 16] table (the fast TPU gather path) —
-    never per-field element gathers — then one bandwidth-bound transpose to
-    the DMA-friendly [16, MPP] layout.
+    One row gather from a packed [P, 16] table (TPU gathers cost per row —
+    never per-field element gathers), one bandwidth-bound transpose to the
+    DMA-friendly [16, max_pairs] layout, and three tiny unique-index
+    scatter/cummax passes for the step maps.
     """
-    pgp, chunk_start, count, chunk_tile, src_block = _align_layout(
-        cfg, pair_gauss, pair_tile, tile_start, tile_stop)
+    num_tiles = cfg.num_tiles
+    max_pairs = pair_gauss.shape[0]
+    assert max_pairs % CHUNK == 0, "max_pairs must be CHUNK-aligned"
+    ns = _num_steps_static(max_pairs, num_tiles)
+
+    tile_start = tile_start.astype(jnp.int32)
+    tile_stop = tile_stop.astype(jnp.int32)
+    cnt = tile_stop - tile_start
+    first_chunk = tile_start // CHUNK
+    # empty tiles take 1 step (their output must still be initialized)
+    nsteps = jnp.where(cnt > 0,
+                       (tile_stop - 1) // CHUNK - first_chunk + 1, 1)
+    step_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(nsteps)[:-1].astype(jnp.int32)])
+
+    # step → tile: unique scatter of tile ids at each tile's first step,
+    # then running max (tail steps inherit the last tile)
+    marks = jnp.full((ns,), -1, jnp.int32).at[step_start].set(
+        jnp.arange(num_tiles, dtype=jnp.int32), mode="drop",
+        unique_indices=True)
+    step_tile = jnp.clip(jax.lax.cummax(marks), 0, num_tiles - 1)
+    steps = jnp.arange(ns, dtype=jnp.int32)
+    step_chunk = jnp.clip(
+        first_chunk[step_tile] + (steps - step_start[step_tile]),
+        0, max_pairs // CHUNK - 1)
+    chunk_first = jnp.concatenate(
+        [jnp.ones(1, jnp.int32),
+         (step_chunk[1:] != step_chunk[:-1]).astype(jnp.int32)])
 
     P = means2d.shape[0]
-    pgp = jnp.where(pgp < P, pgp, -1)
-    g = jnp.clip(pgp, 0, P - 1)
+    g = jnp.clip(pair_gauss, 0, P - 1)
     table = jnp.concatenate(
         [
             means2d,                       # x, y
@@ -172,9 +159,11 @@ def prepare(cfg, pair_gauss, pair_tile, tile_start, tile_stop,
         ],
         axis=-1,
     )                                                     # [P, 16]
-    fields = jnp.where((pgp >= 0)[:, None], table[g], 0.0)  # [MPP, 16]
-    return Prepared(fields=fields.T, pgp=pgp, chunk_start=chunk_start,
-                    count=count, chunk_tile=chunk_tile, src_block=src_block)
+    fields = jnp.where((pair_gauss < P)[:, None], table[g], 0.0)
+    return Prepared(fields=fields.T, pair_gauss=pair_gauss,
+                    tile_start=tile_start, tile_stop=tile_stop,
+                    step_tile=step_tile, step_chunk=step_chunk,
+                    step_start=step_start, chunk_first=chunk_first)
 
 
 def _utri():
@@ -186,7 +175,30 @@ def _utri():
     return (ri <= ci).astype(jnp.float32)
 
 
-import os as _os
+def _eye(n):
+    ri = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (ri == ci).astype(jnp.float32)
+
+
+def _col_to_row(col):
+    """[N, 1] -> [1, N] via an MXU contraction (avoids a sublane↔lane
+    relayout transpose)."""
+    n = col.shape[0]
+    return jax.lax.dot_general(
+        col, _eye(n), dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _row_to_col(row):
+    """[1, N] -> [N, 1] via an MXU contraction."""
+    n = row.shape[1]
+    return jax.lax.dot_general(
+        _eye(n), row, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
 
 _PREFIX_IMPL = _os.environ.get("DEBLURGS_PREFIX_IMPL", "bf16x2")
 
@@ -216,31 +228,6 @@ def _prefix_lane(x):
     return dot(hi, ut) + dot(lo, ut)
 
 
-def _eye(n):
-    ri = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    return (ri == ci).astype(jnp.float32)
-
-
-def _col_to_row(col):
-    """[N, 1] -> [1, N] via an MXU contraction (avoids a sublane↔lane
-    relayout transpose)."""
-    n = col.shape[0]
-    return jax.lax.dot_general(
-        col, _eye(n), dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-
-def _row_to_col(row):
-    """[1, N] -> [N, 1] via an MXU contraction."""
-    n = row.shape[1]
-    return jax.lax.dot_general(
-        _eye(n), row, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-
 def _pixel_features(cfg):
     """Tile-local pixel features [PX, 8] = [1, p, q, p², q², p·q, 0, 0]
     (p, q = pixel coords relative to the tile origin — small, so the
@@ -259,8 +246,10 @@ def _tile_origin(cfg, t):
     return tx0, ty0
 
 
-def _chunk_core(data, tx0, ty0, pf, U, base, cnt):
-    """Shared per-chunk math. ``data``: [16, CHUNK] VMEM block.
+def _chunk_core(data, tx0, ty0, pf, U, base, start, stop):
+    """Shared per-chunk math. ``data``: [16, CHUNK] VMEM block holding the
+    sorted pairs [base, base+CHUNK); only columns in [start, stop) belong to
+    this step's tile (the rest are masked ineligible).
 
     Returns per-chunk arrays oriented [PX, CHUNK] plus per-pair rows
     [1, CHUNK].
@@ -284,7 +273,8 @@ def _chunk_core(data, tx0, ty0, pf, U, base, cnt):
     G = jnp.exp(jnp.minimum(power, 0.0))
     alpha = jnp.minimum(0.99, opac * G)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-    within = (base + col) < cnt                   # [1, CHUNK]
+    pos = base + col
+    within = (pos >= start) & (pos < stop)        # [1, CHUNK]
     elig = within & (power <= 0.0) & (alpha >= _ALPHA_MIN)
     alpha_eff = jnp.where(elig, alpha, 0.0)
     mult = 1.0 - alpha_eff
@@ -296,20 +286,22 @@ def _chunk_core(data, tx0, ty0, pf, U, base, cnt):
     w = jnp.where(live, alpha_eff * P_prev, 0.0)
     comp = live & elig
     return dict(G=G, mult=mult, P_run=P_run, P_prev=P_prev, w=w, comp=comp,
-                xl=xl, yl=yl, ca=ca, cb=cb, cc=cc, opac=opac, col=col)
+                xl=xl, yl=yl, ca=ca, cb=cb, cc=cc, opac=opac, col=col,
+                within=within)
 
 
-def _forward_kernel(cfg, ct_ref, cs_ref, cnt_ref, src_ref,
+def _forward_kernel(cfg, ct_ref, sc_ref, ss_ref, cf_ref, start_ref, stop_ref,
                     fields_ref, cd_out, t_out, ncon_out, u_scr):
     c = pl.program_id(0)
     t = ct_ref[c]
-    base = (c - cs_ref[t]) * CHUNK
-    cnt = cnt_ref[t]
+    start = start_ref[t]
+    stop = stop_ref[t]
+    base = sc_ref[c] * CHUNK
     px_n = cfg.tile_px
 
-    @pl.when(base == 0)
+    @pl.when(c == ss_ref[t])
     def _():
-        # first chunk of this tile: reset accumulators (the out blocks were
+        # first step of this tile: reset accumulators (the out blocks were
         # just switched to this tile by the pipeline)
         u_scr[...] = jnp.ones((px_n, 1), jnp.float32)
         cd_out[0] = jnp.zeros((4, px_n), jnp.float32)
@@ -318,12 +310,12 @@ def _forward_kernel(cfg, ct_ref, cs_ref, cnt_ref, src_ref,
 
     U = u_scr[...]
 
-    @pl.when((base < cnt) & (jnp.max(U) >= _T_EPS))
+    @pl.when((base < stop) & (jnp.max(U) >= _T_EPS))
     def _():
         pf = _pixel_features(cfg)
         tx0, ty0 = _tile_origin(cfg, t)
         data = fields_ref[...]                           # [16, CHUNK]
-        cc = _chunk_core(data, tx0, ty0, pf, U, base, cnt)
+        cc = _chunk_core(data, tx0, ty0, pf, U, base, start, stop)
         P_run, w, comp = cc["P_run"], cc["w"], cc["comp"]
 
         # color+depth accumulation: [4, CHUNK] ⨯ [PX, CHUNK] → [4, PX] (MXU)
@@ -332,7 +324,8 @@ def _forward_kernel(cfg, ct_ref, cs_ref, cnt_ref, src_ref,
             preferred_element_type=jnp.float32,
         )
         if cfg.need_n_contrib:
-            idx1 = (base + cc["col"] + 1).astype(jnp.float32)
+            # n_contrib counts the composited index within the tile's list
+            idx1 = (base + cc["col"] - start + 1).astype(jnp.float32)
             ncon_f = jnp.max(jnp.where(comp, idx1, 0.0), axis=1,
                              keepdims=True)
             ncon_out[0] = jnp.maximum(ncon_out[0],
@@ -343,29 +336,35 @@ def _forward_kernel(cfg, ct_ref, cs_ref, cnt_ref, src_ref,
         u_scr[...] = P_run[:, CHUNK - 1:]
 
 
-def _backward_kernel(cfg, ct_ref, cs_ref, cnt_ref, src_ref,
+def _backward_kernel(cfg, ct_ref, sc_ref, ss_ref, cf_ref, start_ref, stop_ref,
                      fields_ref, dl_ref, bgdot_ref, grads_out,
                      u_scr, w_scr):
     c = pl.program_id(0)
     t = ct_ref[c]
-    base = (c - cs_ref[t]) * CHUNK
-    cnt = cnt_ref[t]
+    start = start_ref[t]
+    stop = stop_ref[t]
+    base = sc_ref[c] * CHUNK
     px_n = cfg.tile_px
 
-    @pl.when(base == 0)
+    @pl.when(c == ss_ref[t])
     def _():
         u_scr[...] = jnp.ones((px_n, 1), jnp.float32)
         w_scr[...] = jnp.zeros((px_n, 1), jnp.float32)
 
     U = u_scr[...]
-    compute = (base < cnt) & (jnp.max(U) >= _T_EPS)
+    compute = (base < stop) & (jnp.max(U) >= _T_EPS)
+    # a chunk straddling a tile boundary is visited by consecutive steps;
+    # only the first writer may clear the whole block
+    prev = jnp.where(cf_ref[c] == 1,
+                     jnp.zeros((NFIELD, CHUNK), jnp.float32),
+                     grads_out[...])
 
     @pl.when(compute)
     def _():
         pf = _pixel_features(cfg)
         tx0, ty0 = _tile_origin(cfg, t)
         data = fields_ref[...]
-        cc = _chunk_core(data, tx0, ty0, pf, U, base, cnt)
+        cc = _chunk_core(data, tx0, ty0, pf, U, base, start, stop)
         G, mult, P_prev, w, comp = (cc["G"], cc["mult"], cc["P_prev"],
                                     cc["w"], cc["comp"])
         dl = dl_ref[0]                        # [4, PX]: color 0-2, depth 3
@@ -411,43 +410,49 @@ def _backward_kernel(cfg, ct_ref, cs_ref, cnt_ref, src_ref,
         dop = mom[0:1, :]                # Σ G·dL_dalpha
         # per-pair color/depth grads: [4, PX] ⨯ [PX, CHUNK] → [4, CHUNK]
         dcold = jnp.dot(dl, w, preferred_element_type=jnp.float32)
-        grads_out[...] = jnp.concatenate(
+        gout = jnp.concatenate(
             [dmx, dmy, dca, dcb, dcc, dop, dcold,
              jnp.zeros((NFIELD - 10, CHUNK), jnp.float32)],
             axis=0,
         )                                                  # [16, CHUNK]
+        grads_out[...] = jnp.where(cc["within"], gout, prev)
 
         u_scr[...] = cc["P_run"][:, CHUNK - 1:]
         w_scr[...] = dlW[:, CHUNK - 1:]
 
     @pl.when(jnp.logical_not(compute))
     def _():
-        # skipped chunks (early-exit or capacity tail) still own real slots
-        # in the output — their gradient contribution is exactly zero
-        grads_out[...] = jnp.zeros((NFIELD, CHUNK), jnp.float32)
+        # skipped steps (early-exit / empty tiles / capacity tail): this
+        # tile's columns contribute exactly zero — but keep other writers'
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        pos = base + col
+        within = (pos >= start) & (pos < stop)
+        grads_out[...] = jnp.where(within,
+                                   jnp.zeros((NFIELD, CHUNK), jnp.float32),
+                                   prev)
 
 
 def forward(cfg, prep: Prepared):
     """Pallas forward. Returns tiled (C [T,PX,3], D [T,PX], T, n_con)."""
     nt, px_n = cfg.num_tiles, cfg.tile_px
-    nc = prep.chunk_tile.shape[0]
+    ns = prep.step_tile.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(nc,),
+        num_scalar_prefetch=6,
+        grid=(ns,),
         in_specs=[
             pl.BlockSpec((NFIELD, CHUNK),
-                         lambda c, ct, cs, cnt, src: (0, src[c]),
+                         lambda c, ct, sc, ss, cf, b, e: (0, sc[c]),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 4, px_n),
-                         lambda c, ct, cs, cnt, src: (ct[c], 0, 0),
+                         lambda c, ct, sc, ss, cf, b, e: (ct[c], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, px_n),
-                         lambda c, ct, cs, cnt, src: (ct[c], 0, 0),
+                         lambda c, ct, sc, ss, cf, b, e: (ct[c], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, px_n),
-                         lambda c, ct, cs, cnt, src: (ct[c], 0, 0),
+                         lambda c, ct, sc, ss, cf, b, e: (ct[c], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -463,8 +468,8 @@ def forward(cfg, prep: Prepared):
             jax.ShapeDtypeStruct((nt, 1, px_n), jnp.int32),
         ],
         interpret=cfg.interpret,
-    )(prep.chunk_tile, prep.chunk_start, prep.count, prep.src_block,
-      prep.fields)
+    )(prep.step_tile, prep.step_chunk, prep.step_start, prep.chunk_first,
+      prep.tile_start, prep.tile_stop, prep.fields)
     C = jnp.moveaxis(cd[:, :3, :], 1, 2)        # [T, PX, 3]
     D = cd[:, 3, :]
     return C, D, t_fin[:, 0, :], ncon[:, 0, :]
@@ -477,7 +482,7 @@ def backward(cfg, prep: Prepared, num_gaussians, bg,
     ``C_t``/``D_t``: the forward's pre-background color/depth sums — used
     for the total−prefix suffix trick."""
     nt, px_n = cfg.num_tiles, cfg.tile_px
-    nc = prep.chunk_tile.shape[0]
+    ns = prep.step_tile.shape[0]
     dl = jnp.concatenate(
         [jnp.moveaxis(dL_dpix_t, 2, 1), dL_dpixd_t[:, None, :]], axis=1
     )                                                     # [T, 4, PX]
@@ -485,24 +490,24 @@ def backward(cfg, prep: Prepared, num_gaussians, bg,
     bg_dot = (dL_dpix_t @ bg) + cfg.z_far * dL_dpixd_t                # [T, PX]
     bgdot_full = sigma_dot + final_T_t * bg_dot                       # [T, PX]
 
-    mpp = prep.fields.shape[1]
+    max_pairs = prep.fields.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(nc,),
+        num_scalar_prefetch=6,
+        grid=(ns,),
         in_specs=[
             pl.BlockSpec((NFIELD, CHUNK),
-                         lambda c, ct, cs, cnt, src: (0, src[c]),
+                         lambda c, ct, sc, ss, cf, b, e: (0, sc[c]),
                          memory_space=pltpu.VMEM),         # fields
             pl.BlockSpec((1, 4, px_n),
-                         lambda c, ct, cs, cnt, src: (ct[c], 0, 0),
+                         lambda c, ct, sc, ss, cf, b, e: (ct[c], 0, 0),
                          memory_space=pltpu.VMEM),         # dl
             pl.BlockSpec((1, 1, px_n),
-                         lambda c, ct, cs, cnt, src: (ct[c], 0, 0),
+                         lambda c, ct, sc, ss, cf, b, e: (ct[c], 0, 0),
                          memory_space=pltpu.VMEM),         # bgdot'
         ],
         out_specs=[
             pl.BlockSpec((NFIELD, CHUNK),
-                         lambda c, ct, cs, cnt, src: (0, c),
+                         lambda c, ct, sc, ss, cf, b, e: (0, sc[c]),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -513,15 +518,17 @@ def backward(cfg, prep: Prepared, num_gaussians, bg,
     pair_grads = pl.pallas_call(
         functools.partial(_backward_kernel, cfg),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((NFIELD, mpp), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((NFIELD, max_pairs), jnp.float32)],
         interpret=cfg.interpret,
-    )(prep.chunk_tile, prep.chunk_start, prep.count, prep.src_block,
-      prep.fields, dl, bgdot_full[:, None, :])[0]
+    )(prep.step_tile, prep.step_chunk, prep.step_start, prep.chunk_first,
+      prep.tile_start, prep.tile_stop, prep.fields, dl,
+      bgdot_full[:, None, :])[0]
 
-    # segment-sum pair grads by Gaussian id (deterministic, atomics-free)
+    # segment-sum pair grads by Gaussian id (deterministic, atomics-free).
+    # Chunks past the last tile's stop are never visited (garbage) and all
+    # carry the sentinel id P — dropped by the slice.
     P = num_gaussians
-    ok = prep.pgp >= 0
-    seg = jnp.where(ok, prep.pgp, P)
+    seg = jnp.minimum(prep.pair_gauss, P)
     sums = jax.ops.segment_sum(pair_grads.T, seg, num_segments=P + 1)[:P]
     dm = sums[:, 0:2]
     dc = sums[:, 2:5]

@@ -41,6 +41,11 @@ def _unflatten(tree_like, flat: dict):
             getattr(p, "name", None) or str(getattr(p, "idx", getattr(p, "key", "")))
             for p in path
         )
+        if key not in flat:
+            # field added after the checkpoint was written (e.g.
+            # overflow_count) — keep the template's initial value
+            leaves.append(np.asarray(leaf))
+            continue
         arr = flat[key]
         assert arr.shape == np.asarray(leaf).shape, (
             f"{key}: checkpoint shape {arr.shape} != state shape "

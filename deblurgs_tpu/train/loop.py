@@ -219,6 +219,12 @@ class Trainer:
                         print(f"[capacity] → {new_cap} "
                               f"(dropped {int(m.densify.n_dropped)})")
                         state = grow_capacity(state, new_cap)
+                    if bool(m.overflowed):
+                        print(f"[pairs] OVERFLOW at iter {it_p}: "
+                              f"{int(m.num_pairs)} pairs > capacity "
+                              f"{rcfg.max_pairs} — step trained on a "
+                              f"truncated pair list "
+                              f"(total {int(m.overflow_count)} such steps)")
                     if int(m.num_pairs) > 0.85 * rcfg.max_pairs:
                         rcfg = dataclasses.replace(
                             rcfg, max_pairs=rcfg.max_pairs * 2)
@@ -252,10 +258,15 @@ class Trainer:
 
         if self.visualize and self._visualizer is not None:
             self._visualizer.save_video()
+        n_overflow = int(state.overflow_count)
+        if n_overflow:
+            print(f"[pairs] WARNING: {n_overflow} iterations trained on a "
+                  "truncated pair list (capacity overflow)")
         if self.model_path:
             with open(os.path.join(self.model_path, "time.txt"), "w") as fp:
                 print(f"Training Time = {self.training_time_sec:7.5f}sec",
                       file=fp)
+                print(f"Overflowed iterations = {n_overflow}", file=fp)
         return state
 
     def save_snapshot(self, state: step_lib.TrainState, iteration: int):

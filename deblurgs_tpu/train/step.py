@@ -40,6 +40,12 @@ class TrainState(NamedTuple):
     adam_m: optim.AdamState
     step: jax.Array            # [] int32
     rng: jax.Array
+    overflow_count: jax.Array = jnp.zeros((), jnp.int32)
+    # ^ steps whose pair list was silently truncated (num_pairs > max_pairs,
+    # or k_max exceeded on the scan backend) — detected IN the step so a
+    # long run can assert zero truncated iterations (the host drains
+    # metrics in batches and would otherwise see overflow up to
+    # ``sync_every`` iterations late)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,6 +76,8 @@ class StepMetrics(NamedTuple):
     num_active: jax.Array
     num_pairs: jax.Array
     max_per_tile: jax.Array
+    overflowed: jax.Array      # [] bool — this step truncated pairs
+    overflow_count: jax.Array  # [] int32 — cumulative truncated steps
     densify: densify_lib.DensifyReport
 
 
@@ -288,17 +296,26 @@ def train_step(state: TrainState, gt_image: jax.Array, cam_idx: jax.Array,
         state.motion, g_motion, state.adam_m, lr_m, update_mask=mask_m
     )
 
+    # --- in-step overflow detection (pair capacity / scan depth truncation)
+    overflowed = jnp.max(num_pairs) > st.rcfg.max_pairs
+    if st.rcfg.backend == "xla":
+        overflowed = overflowed | (jnp.max(max_per_tile) > st.rcfg.k_max)
+    overflow_count = state.overflow_count + overflowed.astype(jnp.int32)
+
     metrics = StepMetrics(
         loss=total, l1=l1, t_smooth=t_smooth, hinge=hinge, depth_tv=depth_tv,
         psnr=losses.psnr(jnp.clip(blurred, 0, 1), jnp.clip(gt_linear, 0, 1)),
         num_active=gm.num_active(aux),
         num_pairs=jnp.max(num_pairs),
         max_per_tile=jnp.max(max_per_tile),
+        overflowed=overflowed,
+        overflow_count=overflow_count,
         densify=report,
     )
     new_state = TrainState(
         params=new_params, motion=new_motion, aux=aux,
         adam_g=adam_g, adam_m=adam_m, step=step + 1, rng=rng,
+        overflow_count=overflow_count,
     )
     return new_state, metrics
 

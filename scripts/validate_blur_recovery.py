@@ -51,6 +51,14 @@ def main():
                     help="train only the camera curves against the true "
                          "scene (isolates motion-recovery)")
     ap.add_argument("--no_densify", action="store_true")
+    ap.add_argument("--no_curve", action="store_true",
+                    help="blurry-fit baseline: never enable the camera "
+                         "curve (sharp 3DGS trained against blurry GT)")
+    ap.add_argument("--curve_start", type=int, default=100)
+    ap.add_argument("--opacity_reset", type=int, default=10_000_000)
+    ap.add_argument("--capacity_mult", type=int, default=4)
+    ap.add_argument("--report", type=str, default=None,
+                    help="write a JSON result line to this path")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -151,18 +159,19 @@ def main():
                        rotation_lr=0.0, lambda_hinge=0.0)
     else:
         init_pts = pts + 0.03 * jax.random.normal(ks[5], pts.shape)
-        params, aux = gm.create_from_pcd(init_pts, cols, gcfg,
-                                         capacity=pts.shape[0] * 4)
+        params, aux = gm.create_from_pcd(
+            init_pts, cols, gcfg, capacity=pts.shape[0] * args.capacity_mult)
         zero_lr = {}
     motion0 = motion_lib.init_motion(rots, centers, mcfg, ks[6])
 
+    curve_start = (10**9 if args.no_curve else args.curve_start)
     ocfg = OptimizationConfig(
-        iterations=args.iters, curve_start_iter=100,
+        iterations=args.iters, curve_start_iter=curve_start,
         densify_from_iter=(10**9 if (args.freeze_scene or args.no_densify)
                            else 500),
         densification_interval=200,
         densify_until_iter=int(args.iters * 0.7),
-        opacity_reset_interval=10_000_000,
+        opacity_reset_interval=args.opacity_reset,
         curve_controlpoints_lr=1e-2, curve_rotation_lr=1e-3,
         curve_lr_half_iter=args.iters,
         **{"position_lr_init": 0.00032, "position_lr_final": 0.0000032,
@@ -235,8 +244,21 @@ def main():
     final_sharp = sharp_psnr(state)
     tr_err = traj_error(state.motion)
     init_err = traj_error(motion0)
+    n_overflow = int(state.overflow_count)
     print(f"\nFINAL: sharp PSNR {final_sharp:.2f} dB; "
-          f"curve translation error {tr_err:.4f} (init {init_err:.4f})")
+          f"curve translation error {tr_err:.4f} (init {init_err:.4f}); "
+          f"overflowed steps {n_overflow}")
+    if args.report:
+        import json
+        with open(args.report, "w") as fp:
+            json.dump({
+                "sharp_psnr": final_sharp, "traj_err": tr_err,
+                "traj_err_init": init_err, "overflow_steps": n_overflow,
+                "final_points": int(state.aux.active.sum()),
+                "iters": args.iters, "n_cams": args.n_cams,
+                "n_sub": args.n_sub, "size": args.size,
+                "no_curve": args.no_curve, "no_densify": args.no_densify,
+            }, fp)
     if args.freeze_scene:
         ok = tr_err < 0.6 * init_err
     else:

@@ -12,30 +12,26 @@ import jax
 import jax.numpy as jnp
 
 
-def top_ops(logdir, k=30):
+def top_ops(logdir, k=20, iters=10):
+    import json
+
     from xprof.convert import raw_to_tool_data as rtd
 
     paths = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
-    data, _ = rtd.xspace_to_tool_data(paths, "op_profile", {})
-    import json
-    prof = json.loads(data)
-
+    data, _ = rtd.xspace_to_tool_data(paths, "framework_op_stats", {})
+    if isinstance(data, bytes):
+        data = data.decode()
     rows = []
-
-    def walk(node, path):
-        ch = node.get("children", [])
-        m = node.get("metrics", {})
-        if not ch and m:
-            rows.append((m.get("rawTime", 0), node.get("name", "?")))
-        for c in ch:
-            walk(c, path + [node.get("name", "?")])
-
-    walk(prof.get("byProgram", prof), [])
+    for r in json.loads(data)[0]["rows"]:
+        c = [x.get("v") for x in r["c"]]
+        if c[1] != "Device" or not c[4]:
+            continue
+        rows.append((c[5], c[4], c[3]))  # total us, occurrences, name
     rows.sort(reverse=True)
-    total = sum(r[0] for r in rows)
-    print(f"total device time {total/1e9:.3f} s over {len(rows)} ops")
-    for t, name in rows[:k]:
-        print(f"{t/1e6:9.3f} ms  {100*t/max(total,1):5.1f}%  {name[:110]}")
+    total = sum(a for a, _, _ in rows)
+    print(f"device total per iter: {total / iters / 1e3:.2f} ms")
+    for tot, occ, name in rows[:k]:
+        print(f"{tot / iters:9.1f} us/iter x{int(occ):4d}  {name[:90]}")
 
 
 def main():
@@ -83,7 +79,7 @@ def main():
             out = fn(*variants[i])
         jax.block_until_ready(out)
 
-    top_ops(args.logdir)
+    top_ops(args.logdir, iters=args.iters)
 
 
 if __name__ == "__main__":

@@ -36,7 +36,12 @@ _SCRIPT = textwrap.dedent("""
         jax.random.PRNGKey(0), n=2000, sh_deg=2, scale_rng=(0.01, 0.05))
     bg = jnp.array([0.1, 0.2, 0.3])
     outs = {}
-    for backend in ("pallas", "xla"):
+    # the oracle does NOT share the binning/sort path with the tile
+    # backends — comparing against it on-device catches hardware-specific
+    # index corruption the pallas-vs-xla comparison is blind to (e.g. the
+    # int->f32 bitcast denormal flush that zeroed tile rects on real TPUs
+    # while both tile backends agreed with each other)
+    for backend in ("pallas", "xla", "oracle"):
         cfg = RasterizeConfig(backend=backend, max_pairs=1 << 15, k_max=2048)
         f = jax.jit(lambda m: render(m, scales, rots, opac, shs, cam, cs,
                                      bg, cfg=cfg, sh_degree=2).image)
@@ -46,8 +51,11 @@ _SCRIPT = textwrap.dedent("""
                  sh_degree=2)
     assert int(out.max_per_tile) <= 2048, int(out.max_per_tile)
     diff = float(np.abs(outs["pallas"] - outs["xla"]).max())
-    print(json.dumps({"max_image_diff": diff}))
+    diff_oracle = float(np.abs(outs["pallas"] - outs["oracle"]).max())
+    print(json.dumps({"max_image_diff": diff,
+                      "max_vs_oracle_diff": diff_oracle}))
     assert diff < 1e-3, diff
+    assert diff_oracle < 1e-3, diff_oracle
 """)
 
 
