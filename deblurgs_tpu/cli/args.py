@@ -95,6 +95,19 @@ class OptimizationParams(ParamGroup):
         super().__init__(parser, "Optimization Parameters")
 
 
+def apply_platform_env():
+    """Pin the jax platform from ``DEBLURGS_PLATFORM`` (set by the training
+    CLI for its post-training render subprocesses — the plain
+    ``JAX_PLATFORMS`` env var is overridden by some accelerator plugins, so
+    a child process would otherwise grab the accelerator its parent is
+    still holding)."""
+    p = os.environ.get("DEBLURGS_PLATFORM")
+    if p:
+        import jax
+
+        jax.config.update("jax_platforms", p)
+
+
 def get_combined_args(parser: ArgumentParser) -> Namespace:
     """CLI args merged over the persisted ``cfg_args`` (reference ``:125-145``)."""
     cmdline = sys.argv[1:]

@@ -50,6 +50,8 @@ def evaluate_session(session, pose_params, gts, proj, out_dir=None,
 
 
 def main(argv=None):
+    from deblurgs_tpu.cli.args import apply_platform_env
+    apply_platform_env()
     parser = ArgumentParser()
     parser.add_argument("--model_path", "-m", type=str, required=True)
     parser.add_argument("--source_path", "-s", type=str, default=None)

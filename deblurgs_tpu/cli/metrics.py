@@ -41,6 +41,8 @@ def evaluate_model_dir(model_path: str, lpips_weights: str | None = None):
 
 
 def main(argv=None):
+    from deblurgs_tpu.cli.args import apply_platform_env
+    apply_platform_env()
     parser = ArgumentParser()
     parser.add_argument("--model_paths", "-m", nargs="+", required=True)
     parser.add_argument("--lpips_weights", type=str, default=None)

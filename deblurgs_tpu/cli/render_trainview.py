@@ -46,6 +46,8 @@ def render_sets(model_path: str, source_path: str | None = None,
 
 
 def main(argv=None):
+    from deblurgs_tpu.cli.args import apply_platform_env
+    apply_platform_env()
     parser = ArgumentParser()
     parser.add_argument("--model_path", "-m", type=str, required=True)
     parser.add_argument("--source_path", "-s", type=str, default=None)

@@ -60,6 +60,14 @@ def main(argv=None):
     parser.add_argument("--load_path", type=str, default=None)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--debug", action="store_true",
+                        help="NaN guard: dump a full state snapshot and "
+                             "abort on a non-finite loss (reference "
+                             "snapshot_fw/bw.dump debug facility)")
+    parser.add_argument("--skip_final_render", action="store_true",
+                        help="skip the post-training spiral/trainview "
+                             "render subprocesses (reference train.py "
+                             "spawns them unconditionally)")
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
     args.save_iterations.append(args.iterations)
 
@@ -88,6 +96,7 @@ def main(argv=None):
         tone_mapping=lpe.tone_mapping_type, model_path=lpe.model_path,
         save_iterations=tuple(args.save_iterations),
         checkpoint_iterations=tuple(args.checkpoint_iterations),
+        debug=args.debug,
     )
     state, first_iter = trainer.init_state(
         key=jax.random.PRNGKey(args.seed),
@@ -98,6 +107,26 @@ def main(argv=None):
     state = trainer.train(state, first_iter)
     trainer.save_snapshot(state, ocfg.iterations)
     print("\nTraining complete.")
+
+    # post-training novel-view + sharp-trainview exports (reference
+    # train.py:230-233 spawns both render scripts at the end of every run)
+    if not args.skip_final_render:
+        import os
+
+        from deblurgs_tpu.tools.colmap_pipeline import do_system
+
+        # children must run on the SAME platform as this process (the
+        # JAX_PLATFORMS env var alone is overridden by some plugins)
+        os.environ["DEBLURGS_PLATFORM"] = jax.default_backend()
+        for rendercode in ("render_spiral", "render_trainview"):
+            # tone mapping / sh degree / activation round-trip via the
+            # persisted cfg_args, so only the paths need forwarding
+            do_system(
+                f"{sys.executable} -m deblurgs_tpu.cli.{rendercode} "
+                f"--model_path {lpe.model_path} "
+                f"--source_path {lpe.source_path} "
+                f"--resolution {lpe.resolution}"
+            )
     return state
 
 

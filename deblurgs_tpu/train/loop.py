@@ -107,11 +107,23 @@ class Trainer:
     log_every: int = 10
     sync_every: int = 10   # host-sync cadence (each sync is a device round trip)
     on_metrics: Optional[Callable] = None
+    debug: bool = False    # NaN guard: dump full state + step inputs on a
+                           # non-finite loss and abort (analog of the
+                           # reference debug snapshot_fw/bw.dump facility,
+                           # diff_gaussian_rasterization/__init__.py:92-99)
 
     def __post_init__(self):
         self._step_cache: dict = {}
         self.logger = EmaLogger()
-        self._gts = jnp.asarray(self.scene.train_images)
+        if jax.process_count() > 1:
+            # camera-sharded global stack — each host contributed only its
+            # host_local_camera_split rows (parallel/multihost.py)
+            from deblurgs_tpu.parallel import multihost
+
+            self._gts = multihost.assemble_global_images(
+                np.asarray(self.scene.train_images))
+        else:
+            self._gts = jnp.asarray(self.scene.train_images)
         self._proj = jnp.asarray(self.scene.proj)
         self.training_time_sec = 0.0
         self._visualizer = None
@@ -202,17 +214,38 @@ class Trainer:
                                 capacity, rcfg, mesh)
 
             cam_idx = self.scene.get_random_cam_idx()
-            state, metrics = fn(state, self._gts[cam_idx],
-                                jnp.int32(cam_idx), self._proj)
+            if jax.process_count() > 1:
+                from deblurgs_tpu.parallel import multihost
+
+                gt = multihost.select_camera(self._gts, jnp.int32(cam_idx))
+            else:
+                gt = self._gts[cam_idx]
+            state, metrics = fn(state, gt, jnp.int32(cam_idx), self._proj)
 
             # Host syncs are expensive (a full device round trip each);
             # metrics stay on device and are drained in batches.
-            self._pending.append((iteration, metrics))
+            self._pending.append((iteration, cam_idx, metrics))
             self.training_time_sec += time.time() - t0
             if (iteration % self.sync_every == 0
                     or iteration in self.save_iterations
                     or iteration == iterations):
-                for it_p, m in self._pending:
+                for it_p, cam_p, m in self._pending:
+                    # ---- NaN guard (debug mode): dump a post-mortem
+                    # snapshot of the full train state + the offending
+                    # step's inputs, then abort. Note the state has already
+                    # advanced up to ``sync_every-1`` steps past the bad
+                    # one — the snapshot is for forensics, not resume.
+                    if self.debug and not np.isfinite(float(m.loss)):
+                        snap = os.path.join(self.model_path or ".",
+                                            f"snapshot_nan_it{it_p}.npz")
+                        ckpt_lib.save_checkpoint(snap, state)
+                        with open(snap + ".txt", "w") as fp:
+                            print(f"non-finite loss at iteration {it_p}\n"
+                                  f"cam_idx={cam_p}\n"
+                                  f"metrics={m}", file=fp)
+                        raise FloatingPointError(
+                            f"non-finite loss {float(m.loss)} at iteration "
+                            f"{it_p} (cam {cam_p}) — state dumped to {snap}")
                     # ---- capacity management (host-side re-jit triggers)
                     if int(m.densify.n_dropped) > 0:
                         new_cap = state.params.xyz.shape[0] * 2

@@ -41,6 +41,7 @@ class Visualizer:
         self.frames: list = []
         self._vis_cam = None
         self.sh_degree = sh_degree if sh_degree is not None else gcfg.sh_degree
+        self.camera_scale = 0.5  # frustum-cone size (reference `:134-135`)
 
     # -- zoom-out camera search (reference ``_get_visualization_camera``)
     def _get_vis_camera(self):
@@ -108,20 +109,39 @@ class Visualizer:
                      active=state.aux.active)
         img = (np.clip(np.asarray(out.image), 0, 1) * 255).astype(np.uint8).copy()
 
-        # draw each image's sub-frame trajectory (projected camera centers)
+        # draw each image's sub-frame trajectory as camera FRUSTUM CONES
+        # (reference draw_cone_on_render_img, visualization.py:137-189:
+        # apex + 4 image-plane corners at ±tan(fov/2), connected 8 ways)
         n = self.scene.num_train
-        proj = jnp.asarray(self.scene.proj)
+        cs = self.scene.camera_static
+        cone_local = np.array([
+            [0.0, 0.0, 0.0],
+            [cs.tanfovx, cs.tanfovy, 1.0],
+            [cs.tanfovx, -cs.tanfovy, 1.0],
+            [-cs.tanfovx, -cs.tanfovy, 1.0],
+            [-cs.tanfovx, cs.tanfovy, 1.0],
+        ]) * self.camera_scale                                    # [5, 3]
+        connectivity = [(0, 1), (0, 2), (0, 3), (0, 4),
+                        (1, 2), (2, 3), (3, 4), (4, 1)]
         for i in range(n):
             nu = motion_lib.sample_nu(state.motion, i, self.mcfg)
-            _, centers = motion_lib.sample_c2w(state.motion, i, nu, self.mcfg)
-            uv, _ = self._project(cam, np.asarray(centers))
-            pts = uv.astype(int)
+            rots, centers = motion_lib.sample_c2w(state.motion, i, nu,
+                                                  self.mcfg)
+            rots = np.asarray(rots)
+            centers = np.asarray(centers)
             color = tuple(int(c) for c in np.random.RandomState(i).randint(
                 64, 255, 3))
-            for a, b in zip(pts[:-1], pts[1:]):
-                cv2.line(img, tuple(a), tuple(b), color, 1)
-            for p in pts:
-                cv2.circle(img, tuple(p), 2, color, -1)
+            for r, c in zip(rots, centers):
+                world = cone_local @ r.T + c                      # [5, 3]
+                uv, _ = self._project(cam, world)
+                # skip cones behind the viewing camera (reference :176-177)
+                hom = np.concatenate([world, np.ones((5, 1))], -1)
+                zview = (hom @ np.asarray(cam.view))[:, 2]
+                if np.any(zview < 0.1):
+                    continue
+                pix = uv.astype(int)
+                for a, b in connectivity:
+                    cv2.line(img, tuple(pix[a]), tuple(pix[b]), color, 1)
         cv2.putText(img, f"it {iteration}", (8, 20),
                     cv2.FONT_HERSHEY_SIMPLEX, 0.5, (255, 255, 255), 1)
         self.frames.append(img)

@@ -59,6 +59,16 @@ def main():
     ap.add_argument("--capacity_mult", type=int, default=4)
     ap.add_argument("--report", type=str, default=None,
                     help="write a JSON result line to this path")
+    ap.add_argument("--random_sample", action="store_true",
+                    help="jitter the sub-frame times each step (reference "
+                         "curve_random_sample)")
+    ap.add_argument("--pos_lr", type=float, default=0.00016,
+                    help="xyz LR init (reference default)")
+    ap.add_argument("--curve_lr_mult", type=float, default=1.0)
+    ap.add_argument("--curve_half_frac", type=float, default=0.1,
+                    help="curve LR half-life as a fraction of iters "
+                         "(reference: 15k/150k)")
+    ap.add_argument("--init_noise", type=float, default=0.001)
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -90,7 +100,8 @@ def main():
         opacity=jnp.full_like(true_params.opacity, 0.9))
 
     # ---- true per-image trajectories: nominal ring pose + SE(3) sweep
-    mcfg = motion_lib.MotionConfig(curve_order=9, n_subframes=args.n_sub)
+    mcfg = motion_lib.MotionConfig(curve_order=9, n_subframes=args.n_sub,
+                                   curve_random_sample=args.random_sample)
     rots, centers = [], []
     for i in range(args.n_cams):
         ang = 2 * math.pi * i / args.n_cams * 0.25
@@ -162,7 +173,8 @@ def main():
         params, aux = gm.create_from_pcd(
             init_pts, cols, gcfg, capacity=pts.shape[0] * args.capacity_mult)
         zero_lr = {}
-    motion0 = motion_lib.init_motion(rots, centers, mcfg, ks[6])
+    motion0 = motion_lib.init_motion(rots, centers, mcfg, ks[6],
+                                     init_noise=args.init_noise)
 
     curve_start = (10**9 if args.no_curve else args.curve_start)
     ocfg = OptimizationConfig(
@@ -172,9 +184,11 @@ def main():
         densification_interval=200,
         densify_until_iter=int(args.iters * 0.7),
         opacity_reset_interval=args.opacity_reset,
-        curve_controlpoints_lr=1e-2, curve_rotation_lr=1e-3,
-        curve_lr_half_iter=args.iters,
-        **{"position_lr_init": 0.00032, "position_lr_final": 0.0000032,
+        curve_controlpoints_lr=1e-2 * args.curve_lr_mult,
+        curve_rotation_lr=1e-3 * args.curve_lr_mult,
+        curve_lr_half_iter=max(int(args.iters * args.curve_half_frac), 1),
+        **{"position_lr_init": args.pos_lr,
+           "position_lr_final": args.pos_lr / 100.0,
            **zero_lr},
     )
     state = step_lib.init_state(params, motion0, aux, ks[7])
@@ -199,7 +213,7 @@ def main():
             st = step_lib.TrainStatics(
                 gcfg=gcfg, mcfg=mcfg, ocfg=ocfg, rcfg=rcfg, cs=cs,
                 sh_degree=sh_degree, n_sub=n_sub, tone_mapping="identity",
-                spatial_lr_scale=2.0)
+                spatial_lr_scale=2.0, random_sample=args.random_sample)
             step_cache[key] = step_lib.make_train_step(st)
         return step_cache[key]
 

@@ -28,7 +28,7 @@ def trained_model(tmp_path_factory):
         "--curve_order", "2", "--backend", "xla",
         "--max_pairs", str(1 << 12), "--densify_from_iter", "1000",
         "--opacity_reset_interval", "1000", "--resolution", "1",
-        "--save_iterations", "8",
+        "--save_iterations", "8", "--skip_final_render",
     ])
     return source, model
 
