@@ -101,11 +101,14 @@ def render_view(session: TrainedSession, cam, *, tone_map: bool = True,
     from deblurgs_tpu.models import tonemap as tm
     from deblurgs_tpu.ops.rasterize import render
 
-    key = ("_render_jit", tone_map)
+    # the cache key carries every captured static (a session whose rcfg is
+    # swapped after the first render — e.g. a backend change — must re-jit,
+    # not silently reuse the old configuration)
+    cs = session.scene.camera_static
+    rcfg, gcfg = session.rcfg, session.gcfg
+    key = ("_render_jit", tone_map, rcfg, gcfg, cs, session.tone_mapping)
     fn = getattr(session, "_render_cache", {}).get(key)
     if fn is None:
-        cs = session.scene.camera_static
-        rcfg, gcfg = session.rcfg, session.gcfg
 
         @jax.jit
         def fn(params, active, cam, bg):

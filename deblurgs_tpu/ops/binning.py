@@ -121,6 +121,45 @@ def expand_slots(area: jax.Array, max_pairs: int):
     return gauss, valid, local, total
 
 
+def expand_compact(area: jax.Array, max_pairs: int):
+    """Slot expansion in COMPACT (emitting-Gaussian) id space.
+
+    Like :func:`expand_slots` but the per-slot owner is the *rank* of the
+    Gaussian among those with ``area > 0`` — ranks increase by exactly +1
+    across runs, so any 128 consecutive slots span ≤ 128 consecutive
+    compact rows. That bounded-window property is what lets the Pallas
+    segmented-broadcast kernel (``pallas_blend.broadcast_fields``) expand a
+    compacted per-Gaussian table into slot space with sequential DMA +
+    one-hot MXU matmuls instead of a per-row HBM gather (TPU gathers cost
+    ~15 ns per row regardless of width).
+
+    Returns (gauss_c [max_pairs] compact rank per slot, ids [P] compact →
+    original id (padding rows repeat the last id), valid, local, total).
+    """
+    P = area.shape[0]
+    offsets_incl = jnp.cumsum(area)
+    total = offsets_incl[-1] if P > 0 else jnp.int32(0)
+    starts = (offsets_incl - area).astype(jnp.int32)
+    emit = area > 0
+    rank = jnp.cumsum(emit.astype(jnp.int32)) - 1          # [P]
+
+    # compact → original id map (unique scatter over the emitting set)
+    ids = jnp.full((P,), -1, jnp.int32).at[
+        jnp.where(emit, rank, P)].set(
+        jnp.arange(P, dtype=jnp.int32), mode="drop", unique_indices=True)
+    ids = jnp.clip(jax.lax.cummax(ids), 0, P - 1)
+
+    scatter_idx = jnp.where(emit, starts, max_pairs)
+    marks = jnp.full(max_pairs, -1, jnp.int32).at[scatter_idx].set(
+        jnp.where(emit, rank, 0), mode="drop", unique_indices=True)
+    gauss_c = jnp.clip(_cummax_1d(marks), 0, P - 1)
+    slots = jnp.arange(max_pairs, dtype=jnp.int32)
+    valid = slots < jnp.minimum(total, max_pairs)
+    starts_c = starts[ids]                                  # [P] compact
+    local = slots - starts_c[gauss_c]
+    return gauss_c, ids, valid, local, total
+
+
 def bin_gaussians(
     pre: PreprocessOut,
     *,

@@ -99,6 +99,10 @@ class Prepared(NamedTuple):
     step_chunk: jax.Array  # [NS] int32 source chunk per grid step
     step_start: jax.Array  # [num_tiles] int32 first grid step per tile
     chunk_first: jax.Array  # [NS] int32 1 = first step writing this chunk
+    # fused path only: pair_gauss holds COMPACT ranks; ids/n_emit map the
+    # backward's compact segment sums to original Gaussian rows
+    ids: jax.Array | None = None     # [P] compact → original id
+    n_emit: jax.Array | None = None  # [] int32 emitting-Gaussian count
 
 
 def _num_steps_static(max_pairs: int, num_tiles: int) -> int:
@@ -108,20 +112,9 @@ def _num_steps_static(max_pairs: int, num_tiles: int) -> int:
     return max_pairs // CHUNK + num_tiles
 
 
-def prepare(cfg, pair_gauss, pair_tile, tile_start, tile_stop,
-            means2d, conic, opacity, color, depth) -> Prepared:
-    """Field gather + step maps shared by forward and backward.
-
-    One row gather from a packed [P, 16] table (TPU gathers cost per row —
-    never per-field element gathers), one bandwidth-bound transpose to the
-    DMA-friendly [16, max_pairs] layout, and three tiny unique-index
-    scatter/cummax passes for the step maps.
-    """
-    num_tiles = cfg.num_tiles
-    max_pairs = pair_gauss.shape[0]
-    assert max_pairs % CHUNK == 0, "max_pairs must be CHUNK-aligned"
+def _step_maps(num_tiles, tile_start, tile_stop, max_pairs):
+    """(tile × overlapped-chunk) grid maps from per-tile pair ranges."""
     ns = _num_steps_static(max_pairs, num_tiles)
-
     tile_start = tile_start.astype(jnp.int32)
     tile_stop = tile_stop.astype(jnp.int32)
     cnt = tile_stop - tile_start
@@ -145,6 +138,142 @@ def prepare(cfg, pair_gauss, pair_tile, tile_start, tile_stop,
     chunk_first = jnp.concatenate(
         [jnp.ones(1, jnp.int32),
          (step_chunk[1:] != step_chunk[:-1]).astype(jnp.int32)])
+    return (tile_start, tile_stop, step_tile, step_chunk, step_start,
+            chunk_first)
+
+
+def _broadcast_kernel(w_ref, ctab_a, ctab_b, gc_ref, out_ref):
+    """Segmented broadcast: expand compact table rows into slot space.
+
+    Each output chunk's 128 slots reference ≤ 128 consecutive compact rows
+    (ranks increase by +1 across runs — ``binning.expand_compact``), so a
+    256-row window (two 128-row blocks) always covers them; the expansion
+    is a one-hot [256, CHUNK] selection matmul on the MXU — no HBM gather.
+    """
+    c = pl.program_id(0)
+    base_row = w_ref[c] * CHUNK    # w_ref holds window BLOCK indices
+    ctab = jnp.concatenate([ctab_a[...], ctab_b[...]], axis=0)  # [256, 16]
+    rel = gc_ref[...] - base_row                                # [1, CHUNK]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (2 * CHUNK, CHUNK), 0)
+    oh = (rel == ri).astype(jnp.float32)                        # [256, CHUNK]
+    out_ref[...] = jax.lax.dot_general(
+        ctab, oh, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                           # [16, CHUNK]
+
+
+def broadcast_fields(ctable, gauss_c, *, interpret=False):
+    """[P, 16] compact table + [max_pairs] compact ranks → [16, max_pairs]
+    slot-space field rows (Pallas; see :func:`_broadcast_kernel`)."""
+    P = ctable.shape[0]
+    max_pairs = gauss_c.shape[0]
+    nc = max_pairs // CHUNK
+    p_pad = ((P + CHUNK - 1) // CHUNK) * CHUNK + CHUNK
+    ctable = jnp.pad(ctable, ((0, p_pad - P), (0, 0)))
+    win_blk = gauss_c[::CHUNK] >> 7                      # [nc] window block
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((CHUNK, NFIELD), lambda c, w: (w[c], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, NFIELD), lambda c, w: (w[c] + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHUNK), lambda c, w: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((NFIELD, CHUNK), lambda c, w: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        _broadcast_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((NFIELD, max_pairs), jnp.float32)],
+        interpret=interpret,
+    )(win_blk, ctable, ctable, gauss_c[None, :])[0]
+
+
+def prepare_fused(cfg, means2d, conic, opacity, color, depth, rect, area,
+                  max_pairs: int):
+    """Expansion → segmented broadcast → through-sort field staging.
+
+    Replaces [gather rect rows] + [sort ids] + [gather field rows] with ONE
+    compact-table build (P rows), a sequential-DMA broadcast kernel, and a
+    sort that carries the field rows as operands — TPU gathers/scatters
+    cost per row (~15 ns), so at 1080p bench scale this removes ~600k
+    gathered rows from the hot path. Returns (Prepared, num_pairs,
+    max_per_tile).
+    """
+    from deblurgs_tpu.ops import binning as binning_lib
+
+    num_tiles = cfg.num_tiles
+    P = means2d.shape[0]
+    gauss_c, ids, valid, local, total = binning_lib.expand_compact(
+        area.astype(jnp.int32), max_pairs)
+    n_emit = jnp.sum((area > 0).astype(jnp.int32))
+
+    x0f = rect[:, 0].astype(jnp.float32)
+    y0f = rect[:, 1].astype(jnp.float32)
+    wf = jnp.maximum(rect[:, 2] - rect[:, 0], 1).astype(jnp.float32)
+    table = jnp.concatenate(
+        [means2d, conic, opacity[:, None], color, depth[:, None],
+         x0f[:, None], y0f[:, None], wf[:, None],
+         jnp.zeros((P, NFIELD - 13), jnp.float32)],
+        axis=-1,
+    )                                                    # [P, 16]
+    ctable = table[ids]                                  # [P, 16] (P rows)
+    fslot = broadcast_fields(ctable, gauss_c, interpret=cfg.interpret)
+
+    # per-slot tile id (f32 arithmetic exact: values < 2^24, see binning)
+    localf = local.astype(jnp.float32)
+    dy = jnp.floor(localf / fslot[12])
+    dx = localf - dy * fslot[12]
+    tile = ((fslot[11] + dy) * cfg.tiles_x
+            + (fslot[10] + dx)).astype(jnp.int32)
+    tile = jnp.where(valid, tile, num_tiles)
+    # large FINITE sentinel: the sorted depth row doubles as field row 9,
+    # and a masked column's `w = 0` would turn an inf into 0·inf = NaN in
+    # the CD contraction (matmuls sum masked columns too)
+    depth_key = jnp.where(valid, fslot[9], jnp.float32(3e37))
+    gc_sent = jnp.where(valid, gauss_c, P).astype(jnp.int32)
+
+    sorted_ops = jax.lax.sort(
+        (tile, depth_key, gc_sent) + tuple(fslot[i] for i in range(9)),
+        num_keys=2, is_stable=True,
+    )
+    s_tile, s_depth, s_gc = sorted_ops[0], sorted_ops[1], sorted_ops[2]
+    fields = jnp.stack(
+        list(sorted_ops[3:12]) + [s_depth]
+        + [jnp.zeros_like(s_depth)] * (NFIELD - 10), axis=0)
+
+    tq = jnp.arange(num_tiles, dtype=jnp.int32)
+    from deblurgs_tpu.ops.binning import searchsorted_right
+    tile_start = searchsorted_right(s_tile, tq - 1)
+    tile_stop = searchsorted_right(s_tile, tq)
+
+    (tile_start, tile_stop, step_tile, step_chunk, step_start,
+     chunk_first) = _step_maps(num_tiles, tile_start, tile_stop, max_pairs)
+    prep = Prepared(
+        fields=fields, pair_gauss=s_gc,
+        tile_start=tile_start, tile_stop=tile_stop,
+        step_tile=step_tile, step_chunk=step_chunk, step_start=step_start,
+        chunk_first=chunk_first, ids=ids, n_emit=n_emit)
+    return prep, total, jnp.max(tile_stop - tile_start)
+
+
+def prepare(cfg, pair_gauss, pair_tile, tile_start, tile_stop,
+            means2d, conic, opacity, color, depth) -> Prepared:
+    """Field gather + step maps from a pre-built :class:`Binning` (the
+    gather-based staging path; the training hot path uses
+    :func:`prepare_fused`, which replaces the per-row gathers with the
+    segmented-broadcast kernel + through-sort fields)."""
+    num_tiles = cfg.num_tiles
+    max_pairs = pair_gauss.shape[0]
+    assert max_pairs % CHUNK == 0, "max_pairs must be CHUNK-aligned"
+    (tile_start, tile_stop, step_tile, step_chunk, step_start,
+     chunk_first) = _step_maps(num_tiles, tile_start, tile_stop, max_pairs)
 
     P = means2d.shape[0]
     g = jnp.clip(pair_gauss, 0, P - 1)
@@ -530,6 +659,13 @@ def backward(cfg, prep: Prepared, num_gaussians, bg,
     P = num_gaussians
     seg = jnp.minimum(prep.pair_gauss, P)
     sums = jax.ops.segment_sum(pair_grads.T, seg, num_segments=P + 1)[:P]
+    if prep.ids is not None:
+        # fused path: pair_gauss holds COMPACT ranks — scatter the compact
+        # sums back to original rows (ids is unique on the first n_emit
+        # rows; the padding tail repeats the last id and its sums are zero)
+        ids_u = jnp.where(jnp.arange(P) < prep.n_emit, prep.ids, P)
+        sums = jnp.zeros_like(sums).at[ids_u].set(
+            sums, mode="drop", unique_indices=True)
     dm = sums[:, 0:2]
     dc = sums[:, 2:5]
     do = sums[:, 5]

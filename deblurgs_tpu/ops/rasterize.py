@@ -55,7 +55,7 @@ class RasterizeConfig:
         return tile_blend.BlendConfig(
             width=cs.width, height=cs.height,
             tile_w=self.tile_w, tile_h=self.tile_h,
-            k_max=self.k_max, z_far=self.z_far,
+            k_max=self.k_max, max_pairs=self.max_pairs, z_far=self.z_far,
             backend=self.backend, interpret=self.interpret,
             need_n_contrib=self.need_n_contrib,
         )
@@ -113,6 +113,15 @@ def render(
         )
         num_pairs = jnp.sum(pre.tiles_touched)
         max_per_tile = jnp.int32(0)
+    elif cfg.backend == "pallas":
+        # expansion/sort/field staging fused into the blend VJP (no
+        # per-row HBM gathers — see pallas_blend.prepare_fused)
+        bcfg = cfg.blend_config(cs)
+        (image, depth_img, final_T, n_contrib,
+         num_pairs, max_per_tile) = tile_blend.blend_fused(
+            bcfg, pre.means2d, pre.conic, pre.opacity, pre.color,
+            pre.depth, pre.rect, pre.tiles_touched.astype(jnp.int32), bg,
+        )
     else:
         bcfg = cfg.blend_config(cs)
         bins = binning_lib.bin_gaussians(

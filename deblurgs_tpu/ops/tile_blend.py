@@ -49,6 +49,7 @@ class BlendConfig:
     tile_w: int = 16
     tile_h: int = 16
     k_max: int = 1024          # max pairs composited per tile (cap)
+    max_pairs: int = 1 << 18   # pair capacity (fused pallas path)
     z_far: float = 100.0
     backend: str = "xla"       # "xla" | "pallas"
     interpret: bool = False    # pallas interpret mode (CPU testing)
@@ -366,3 +367,60 @@ def blend_from_binning(cfg: BlendConfig, binning: Binning,
     return blend(cfg, binning.pair_gauss, binning.pair_tile,
                  binning.tile_start, binning.tile_stop,
                  means2d, conic, opacity, color, depth, bg)
+
+
+# ---------------------------------------------------------------------------
+# fused pallas path: binning + staging INSIDE the custom_vjp
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def blend_fused(cfg: BlendConfig, means2d, conic, opacity, color, depth,
+                rect, area, bg):
+    """Pallas-backend compositing with expansion/sort/staging fused into
+    the VJP (``pallas_blend.prepare_fused``): ONE compact-table build, a
+    segmented-broadcast kernel, and a field-carrying sort replace the
+    per-row gathers of the :func:`blend` path. Returns
+    (image, depth_img, final_T, n_contrib, num_pairs, max_per_tile).
+    """
+    out, _ = _blend_fused_fwd(cfg, means2d, conic, opacity, color, depth,
+                              rect, area, bg)
+    return out
+
+
+def _blend_fused_fwd(cfg, means2d, conic, opacity, color, depth,
+                     rect, area, bg):
+    from deblurgs_tpu.ops import pallas_blend
+
+    prep, num_pairs, max_per_tile = pallas_blend.prepare_fused(
+        cfg, means2d, conic, opacity, color, depth, rect, area,
+        cfg.max_pairs)
+    C, D, T, n_con = pallas_blend.forward(cfg, prep)
+    image_t = C + T[..., None] * bg
+    depth_t = D + T * cfg.z_far
+    out = (
+        tiles_to_image(cfg, image_t),
+        tiles_to_image(cfg, depth_t),
+        tiles_to_image(cfg, T),
+        tiles_to_image(cfg, n_con),
+        num_pairs,
+        max_per_tile,
+    )
+    res = (prep, bg, T, C, D, means2d.shape[0], rect, area)
+    return out, res
+
+
+def _blend_fused_bwd(cfg, res, cot):
+    from deblurgs_tpu.ops import pallas_blend
+
+    prep, bg, final_T_t, C_t, D_t, P, rect, area = res
+    dL_dimage, dL_ddepth, _dT, _dn, _dnp, _dmpt = cot
+    dL_dpix_t = image_to_tiles(cfg, dL_dimage)
+    dL_dpixd_t = image_to_tiles(cfg, dL_ddepth)
+    dm, dc, do, dcol, dd, dbg = pallas_blend.backward(
+        cfg, prep, P, bg, final_T_t, dL_dpix_t, dL_dpixd_t, C_t, D_t)
+    int_zero = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return dm, dc, do, dcol, dd, int_zero(rect), int_zero(area), dbg
+
+
+blend_fused.defvjp(_blend_fused_fwd, _blend_fused_bwd)

@@ -69,6 +69,12 @@ def main():
                     help="curve LR half-life as a fraction of iters "
                          "(reference: 15k/150k)")
     ap.add_argument("--init_noise", type=float, default=0.001)
+    ap.add_argument("--gt_oversample", type=int, default=1,
+                    help="synthesize the blurry GT from n_sub*K uniform "
+                         "trajectory samples (K>1 approximates CONTINUOUS "
+                         "exposure blur instead of the model's discrete "
+                         "sub-frame grid — the realistic, non-gameable "
+                         "setting)")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -137,14 +143,15 @@ def main():
     # capture would inline megabytes of constants into the HLO and choke
     # the remote compiler); eager dispatch is likewise avoided.
     print("synthesizing ground truth...")
-    nu = jnp.linspace(0.0, 1.0, args.n_sub)
+    n_gt = args.n_sub * args.gt_oversample
+    nu = jnp.linspace(0.0, 1.0, n_gt)
 
     @jax.jit
     def synth(params, active, motion, i):
         cams = motion_lib.subframe_cameras(motion, i, nu, proj, mcfg)
         frames = jax.lax.map(
             lambda c: render_with(params, active, c), cams)
-        mid = jax.tree.map(lambda l: l[args.n_sub // 2], cams)
+        mid = jax.tree.map(lambda l: l[n_gt // 2], cams)
         return frames.mean(0), render_with(params, active, mid), mid
 
     blur_l, sharp_l, mid_cams = [], [], []
