@@ -1,4 +1,4 @@
-"""Stage-split profiler for the rasterizer at bench scale (1080p / 100k).
+"""Stage-split profiler for the fused rasterizer at bench scale (1080p/100k).
 
 Ablates the pipeline cumulatively so each stage's marginal cost is the
 difference between consecutive rows. Pipelined timing (one device sync per
@@ -61,57 +61,30 @@ def main():
                           need_n_contrib=False)
     bcfg = cfg.blend_config(cs)
 
-    def stage_pre(*g):
-        cov6 = build_covariance(g[1], g[2], 1.0)
-        pre = pre_lib.preprocess(g[0], cov6, g[4], None, g[3], cam, cs,
-                                 sh_degree=2, tile_w=args.tile, tile_h=args.tile)
-        return jax.tree.map(lambda x: x.sum(), pre)
-
     def _pre(g):
         cov6 = build_covariance(g[1], g[2], 1.0)
         return pre_lib.preprocess(g[0], cov6, g[4], None, g[3], cam, cs,
-                                  sh_degree=2, tile_w=args.tile, tile_h=args.tile)
+                                  sh_degree=2, tile_w=args.tile,
+                                  tile_h=args.tile)
+
+    def stage_pre(*g):
+        return jax.tree.map(lambda x: x.sum(), _pre(g))
 
     def stage_expand(*g):
         pre = _pre(g)
-        area = pre.tiles_touched.astype(jnp.int32)
-        gauss, valid, local, total = binning_lib.expand_slots(area, max_pairs)
-        return gauss.sum(), valid.sum(), local.sum(), total
+        out = binning_lib.expand_compact(
+            pre.tiles_touched.astype(jnp.int32), max_pairs)
+        return jax.tree.map(lambda x: x.sum(), out)
 
-    def stage_emit(*g):
-        # expansion + table gather + tile computation, no sort
+    def stage_prepare(*g):
+        # expand + compact-table + broadcast kernel + sort + step maps
         pre = _pre(g)
-        area = pre.tiles_touched.astype(jnp.int32)
-        gauss, valid, local, total = binning_lib.expand_slots(area, max_pairs)
-        table = jnp.concatenate(
-            [pre.rect[:, :2].astype(jnp.float32),
-             jnp.maximum(pre.rect[:, 2:3] - pre.rect[:, 0:1], 1).astype(jnp.float32),
-             pre.depth[:, None],
-             jnp.zeros((args.n, 4), jnp.float32)], axis=-1)
-        rows = table[gauss]
-        width = rows[:, 2]
-        dy = jnp.floor(local.astype(jnp.float32) / width)
-        dx = local.astype(jnp.float32) - dy * width
-        tile = (rows[:, 1] + dy) * bcfg.tiles_x + (rows[:, 0] + dx)
-        return tile.sum(), rows[:, 3].sum(), total
-
-    def stage_bin(*g):
-        pre = _pre(g)
-        bins = binning_lib.bin_gaussians(pre, tiles_x=bcfg.tiles_x,
-                                         tiles_y=bcfg.tiles_y,
-                                         max_pairs=max_pairs)
-        return jax.tree.map(lambda x: x.sum(), bins)
-
-    def stage_gather(*g):
-        pre = _pre(g)
-        bins = binning_lib.bin_gaussians(pre, tiles_x=bcfg.tiles_x,
-                                         tiles_y=bcfg.tiles_y,
-                                         max_pairs=max_pairs)
-        prep = pallas_blend.prepare(
-            bcfg, bins.pair_gauss, bins.pair_tile,
-            bins.tile_start, bins.tile_stop,
-            pre.means2d, pre.conic, pre.opacity, pre.color, pre.depth)
-        return jax.tree.map(lambda x: x.sum(), prep)
+        prep, total, mpt = pallas_blend.prepare_fused(
+            bcfg, pre.means2d, pre.conic, pre.opacity, pre.color, pre.depth,
+            pre.rect, pre.tiles_touched.astype(jnp.int32), max_pairs)
+        return jax.tree.map(lambda x: x.sum(),
+                            (prep.fields, prep.pair_gauss, prep.step_tile,
+                             total, mpt))
 
     def stage_full(*g):
         return render(*g, cam, cs, bg, cfg=cfg, sh_degree=2).image
@@ -122,28 +95,26 @@ def main():
             return out.image.sum() + out.depth.sum()
         return jax.grad(loss)(g[0])
 
+    def stage_floor(*g):
+        return g[0].sum()
+
     means = gauss[0]
     variants = [(means + i * 1e-5,) + gauss[1:] for i in range(args.iters)]
     jax.block_until_ready(variants)
-
-    def stage_floor(*g):
-        return g[0].sum()
 
     rows = [
         ("dispatch floor", stage_floor),
         ("preprocess", stage_pre),
         ("+expand", stage_expand),
-        ("+emit(no sort)", stage_emit),
-        ("+binning", stage_bin),
-        ("+align+gather", stage_gather),
+        ("+bcast+sort+maps", stage_prepare),
         ("full fwd", stage_full),
         ("fwd+bwd", stage_fwdbwd),
     ]
     prev = 0.0
     for name, fn in rows:
         dt = timeit(jax.jit(fn), variants, args.iters)
-        print(f"{name:16s} {dt * 1e3:8.2f} ms   (marginal {max(dt - prev, 0) * 1e3:7.2f} ms)",
-              flush=True)
+        print(f"{name:17s} {dt * 1e3:8.2f} ms   "
+              f"(marginal {max(dt - prev, 0) * 1e3:7.2f} ms)", flush=True)
         if name != "full fwd":
             prev = dt
 
