@@ -399,7 +399,10 @@ def _chunk_core(data, tx0, ty0, pf, U, base, start, stop):
         pf, b8, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                             # [PX, CHUNK] (MXU)
-    G = jnp.exp(jnp.minimum(power, 0.0))
+    # no min(power, 0) clamp: the conic is PSD so power ≤ 0 up to rounding
+    # eps, and pairs with power > 0 are gated ineligible below — G for
+    # them never feeds alpha_eff or the composited moments
+    G = jnp.exp(power)
     alpha = jnp.minimum(0.99, opac * G)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
     pos = base + col
