@@ -118,6 +118,14 @@ def main(argv=None):
         # children must run on the SAME platform as this process (the
         # JAX_PLATFORMS env var alone is overridden by some plugins)
         os.environ["DEBLURGS_PLATFORM"] = jax.default_backend()
+        # the child resolves `-m deblurgs_tpu.cli.*` via sys.path, which
+        # does not include this package's root when the caller launched
+        # from another directory
+        pkg_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        prev_pp = os.environ.get("PYTHONPATH")
+        os.environ["PYTHONPATH"] = (
+            pkg_root if not prev_pp else pkg_root + os.pathsep + prev_pp)
         for rendercode in ("render_spiral", "render_trainview"):
             # tone mapping / sh degree / activation round-trip via the
             # persisted cfg_args, so only the paths need forwarding

@@ -89,56 +89,86 @@ NFIELD = 16
 
 class Prepared(NamedTuple):
     """Shared fwd/bwd staging (saved as VJP residuals — the backward never
-    re-runs the field gather or the step maps)."""
+    re-runs the field gather or the step maps).
+
+    ``window`` sub-tiles (consecutive tile ids) share each grid step: the
+    step maps are per-sub-tile rows of shape [window, NS]."""
 
     fields: jax.Array      # [16, max_pairs] f32 pair field rows
     pair_gauss: jax.Array  # [max_pairs] int32 owning Gaussian (P = invalid)
-    tile_start: jax.Array  # [num_tiles] int32 into the sorted pair array
-    tile_stop: jax.Array   # [num_tiles] int32 one-past-end
-    step_tile: jax.Array   # [NS] int32 tile per grid step
-    step_chunk: jax.Array  # [NS] int32 source chunk per grid step
-    step_start: jax.Array  # [num_tiles] int32 first grid step per tile
-    chunk_first: jax.Array  # [NS] int32 1 = first step writing this chunk
+    tile_start: jax.Array  # [nt_pad] int32 into the sorted pair array
+    tile_stop: jax.Array   # [nt_pad] int32 one-past-end
+    step_tile: jax.Array   # [NS] int32 WINDOW index per grid step
+    step_chunk: jax.Array  # [window, NS] int32 source chunk per grid step
+    step_start: jax.Array  # [n_win] int32 first grid step per window
+    chunk_first: jax.Array  # [window, NS] int32 1 = first visit of the chunk
     # fused path only: pair_gauss holds COMPACT ranks; ids/n_emit map the
     # backward's compact segment sums to original Gaussian rows
     ids: jax.Array | None = None     # [P] compact → original id
     n_emit: jax.Array | None = None  # [] int32 emitting-Gaussian count
+    owner: jax.Array | None = None   # [max_pairs] int32 slot's tile % window
+                                     # (window > 1 backward select-sum)
 
 
-def _num_steps_static(max_pairs: int, num_tiles: int) -> int:
-    """Upper bound on (tile, overlapped-chunk) grid steps: each tile covers
-    ≤ cnt/CHUNK + 1 chunks (⇒ Σ ≤ max_pairs/CHUNK + T) and empty tiles
-    claim one mask-empty step each (already inside the +T)."""
-    return max_pairs // CHUNK + num_tiles
+def _num_steps_static(max_pairs: int, num_tiles: int, window: int = 1) -> int:
+    """Upper bound on (window × lockstep-chunk) grid steps: a window's step
+    count is max over its sub-tiles of ceil(cnt/CHUNK) (+1 boundary chunk),
+    ≤ (Σ cnt)/CHUNK + 1 — so Σ ≤ max_pairs/CHUNK + n_windows. Empty windows
+    claim one mask-empty step each (inside the +n_windows)."""
+    n_win = -(-num_tiles // window)
+    return max_pairs // CHUNK + n_win
 
 
-def _step_maps(num_tiles, tile_start, tile_stop, max_pairs):
-    """(tile × overlapped-chunk) grid maps from per-tile pair ranges."""
-    ns = _num_steps_static(max_pairs, num_tiles)
+def _step_maps(num_tiles, tile_start, tile_stop, max_pairs, window: int = 1):
+    """(window × lockstep-chunk) grid maps from per-tile pair ranges.
+
+    Each grid step advances ``window`` consecutive tiles' chunk streams in
+    lockstep; sub-tiles with fewer chunks than the window's max repeat
+    their last chunk index (repeated block indices skip the DMA and the
+    kernel's j-range gate skips the compute)."""
+    ns = _num_steps_static(max_pairs, num_tiles, window)
+    nt_pad = -(-num_tiles // window) * window
+    n_win = nt_pad // window
     tile_start = tile_start.astype(jnp.int32)
     tile_stop = tile_stop.astype(jnp.int32)
+    if nt_pad != num_tiles:
+        # padded tiles are empty: start = stop = max_pairs (gates all false)
+        pad = jnp.full((nt_pad - num_tiles,), max_pairs, jnp.int32)
+        tile_start = jnp.concatenate([tile_start, pad])
+        tile_stop = jnp.concatenate([tile_stop, pad])
     cnt = tile_stop - tile_start
     first_chunk = tile_start // CHUNK
     # empty tiles take 1 step (their output must still be initialized)
-    nsteps = jnp.where(cnt > 0,
-                       (tile_stop - 1) // CHUNK - first_chunk + 1, 1)
+    nsteps_t = jnp.where(cnt > 0,
+                         (tile_stop - 1) // CHUNK - first_chunk + 1, 1)
+    nsteps_w = jnp.max(nsteps_t.reshape(n_win, window), axis=1)
     step_start = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(nsteps)[:-1].astype(jnp.int32)])
+        [jnp.zeros(1, jnp.int32),
+         jnp.cumsum(nsteps_w)[:-1].astype(jnp.int32)])
 
-    # step → tile: unique scatter of tile ids at each tile's first step,
-    # then running max (tail steps inherit the last tile)
+    # step → window: unique scatter of window ids at each window's first
+    # step, then running max (tail steps inherit the last window)
     marks = jnp.full((ns,), -1, jnp.int32).at[step_start].set(
-        jnp.arange(num_tiles, dtype=jnp.int32), mode="drop",
+        jnp.arange(n_win, dtype=jnp.int32), mode="drop",
         unique_indices=True)
-    step_tile = jnp.clip(jax.lax.cummax(marks), 0, num_tiles - 1)
+    step_win = jnp.clip(jax.lax.cummax(marks), 0, n_win - 1)
     steps = jnp.arange(ns, dtype=jnp.int32)
-    step_chunk = jnp.clip(
-        first_chunk[step_tile] + (steps - step_start[step_tile]),
-        0, max_pairs // CHUNK - 1)
+    j = steps - step_start[step_win]
+    fc_w = first_chunk.reshape(n_win, window)
+    # clamp each sub-tile's stream to ITS OWN last chunk: an overshooting
+    # lockstep position must re-map the tile's final block (repeat → DMA
+    # skipped, kernel preserves), never a foreign block — Mosaic writes
+    # back whatever the out buffer holds for every mapped index
+    lc_w = (first_chunk + nsteps_t - 1).reshape(n_win, window)
+    step_chunk = jnp.stack(
+        [jnp.clip(jnp.minimum(fc_w[step_win, q] + j, lc_w[step_win, q]),
+                  0, max_pairs // CHUNK - 1)
+         for q in range(window)], axis=0)                  # [window, NS]
     chunk_first = jnp.concatenate(
-        [jnp.ones(1, jnp.int32),
-         (step_chunk[1:] != step_chunk[:-1]).astype(jnp.int32)])
-    return (tile_start, tile_stop, step_tile, step_chunk, step_start,
+        [jnp.ones((window, 1), jnp.int32),
+         (step_chunk[:, 1:] != step_chunk[:, :-1]).astype(jnp.int32)],
+        axis=1)
+    return (tile_start, tile_stop, step_win, step_chunk, step_start,
             chunk_first)
 
 
@@ -252,15 +282,19 @@ def prepare_fused(cfg, means2d, conic, opacity, color, depth, rect, area,
     from deblurgs_tpu.ops.binning import searchsorted_right
     tile_start = searchsorted_right(s_tile, tq - 1)
     tile_stop = searchsorted_right(s_tile, tq)
+    max_per_tile = jnp.max(tile_stop - tile_start)
 
     (tile_start, tile_stop, step_tile, step_chunk, step_start,
-     chunk_first) = _step_maps(num_tiles, tile_start, tile_stop, max_pairs)
+     chunk_first) = _step_maps(num_tiles, tile_start, tile_stop, max_pairs,
+                               cfg.window)
+    owner = (s_tile % cfg.window).astype(jnp.int32) if cfg.window > 1 \
+        else None
     prep = Prepared(
         fields=fields, pair_gauss=s_gc,
         tile_start=tile_start, tile_stop=tile_stop,
         step_tile=step_tile, step_chunk=step_chunk, step_start=step_start,
-        chunk_first=chunk_first, ids=ids, n_emit=n_emit)
-    return prep, total, jnp.max(tile_stop - tile_start)
+        chunk_first=chunk_first, ids=ids, n_emit=n_emit, owner=owner)
+    return prep, total, max_per_tile
 
 
 def prepare(cfg, pair_gauss, pair_tile, tile_start, tile_stop,
@@ -272,8 +306,11 @@ def prepare(cfg, pair_gauss, pair_tile, tile_start, tile_stop,
     num_tiles = cfg.num_tiles
     max_pairs = pair_gauss.shape[0]
     assert max_pairs % CHUNK == 0, "max_pairs must be CHUNK-aligned"
+    owner = (pair_tile % cfg.window).astype(jnp.int32) if cfg.window > 1 \
+        else None
     (tile_start, tile_stop, step_tile, step_chunk, step_start,
-     chunk_first) = _step_maps(num_tiles, tile_start, tile_stop, max_pairs)
+     chunk_first) = _step_maps(num_tiles, tile_start, tile_stop, max_pairs,
+                               cfg.window)
 
     P = means2d.shape[0]
     g = jnp.clip(pair_gauss, 0, P - 1)
@@ -292,16 +329,17 @@ def prepare(cfg, pair_gauss, pair_tile, tile_start, tile_stop,
     return Prepared(fields=fields.T, pair_gauss=pair_gauss,
                     tile_start=tile_start, tile_stop=tile_stop,
                     step_tile=step_tile, step_chunk=step_chunk,
-                    step_start=step_start, chunk_first=chunk_first)
+                    step_start=step_start, chunk_first=chunk_first,
+                    owner=owner)
 
 
-def _utri():
-    """Upper-triangular ones (inclusive) [CHUNK, CHUNK]: ``x @ utri`` is the
-    inclusive prefix sum along the lane (pair) axis. Built with iota
-    (kernels cannot capture host constants)."""
+def _utri(exclusive: bool = False):
+    """Upper-triangular ones [CHUNK, CHUNK]: ``x @ utri`` is the inclusive
+    (strict upper → exclusive) prefix sum along the lane (pair) axis. Built
+    with iota (kernels cannot capture host constants)."""
     ri = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-    return (ri <= ci).astype(jnp.float32)
+    return ((ri < ci) if exclusive else (ri <= ci)).astype(jnp.float32)
 
 
 def _eye(n):
@@ -332,9 +370,9 @@ def _row_to_col(row):
 _PREFIX_IMPL = _os.environ.get("DEBLURGS_PREFIX_IMPL", "bf16x2")
 
 
-def _prefix_lane(x):
-    """Inclusive prefix sum along the lane (last) axis via a [CHUNK, CHUNK]
-    upper-triangular ones-matmul on the MXU.
+def _prefix_lane(x, exclusive: bool = False):
+    """Inclusive (or exclusive) prefix sum along the lane (last) axis via a
+    [CHUNK, CHUNK] upper-triangular ones-matmul on the MXU.
 
     Default: **double-bfloat16** operands (x = hi + lo split) with f32
     accumulation — two single-pass bf16 matmuls instead of the multi-pass
@@ -346,10 +384,11 @@ def _prefix_lane(x):
     (lane rotations are shuffle ops the VPU doesn't stream).
     """
     if _PREFIX_IMPL == "f32":
-        return jnp.dot(x, _utri(), preferred_element_type=jnp.float32)
+        return jnp.dot(x, _utri(exclusive),
+                       preferred_element_type=jnp.float32)
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    ut = _utri().astype(jnp.bfloat16)
+    ut = _utri(exclusive).astype(jnp.bfloat16)
     dot = functools.partial(
         jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -411,200 +450,258 @@ def _chunk_core(data, tx0, ty0, pf, U, base, start, stop):
     alpha_eff = jnp.where(elig, alpha, 0.0)
     mult = 1.0 - alpha_eff
     logm = jnp.log(mult)
-    csum = _prefix_lane(logm)                     # inclusive prefix
-    P_run = U * jnp.exp(csum)                     # [PX, CHUNK]
-    P_prev = P_run / mult
+    # EXCLUSIVE prefix → P_prev directly (one exp), then P_run by a single
+    # multiply — the inclusive form needs a [PX, CHUNK] divide to recover
+    # P_prev, and VPU division is a multi-pass reciprocal+NR sequence
+    csum_ex = _prefix_lane(logm, exclusive=True)
+    P_prev = U * jnp.exp(csum_ex)                 # [PX, CHUNK]
+    P_run = P_prev * mult
     live = P_run >= _T_EPS
-    w = jnp.where(live, alpha_eff * P_prev, 0.0)
+    w = jnp.where(live, alpha_eff, 0.0) * P_prev
     comp = live & elig
     return dict(G=G, mult=mult, P_run=P_run, P_prev=P_prev, w=w, comp=comp,
                 xl=xl, yl=yl, ca=ca, cb=cb, cc=cc, opac=opac, col=col,
                 within=within)
 
 
-def _forward_kernel(cfg, ct_ref, sc_ref, ss_ref, cf_ref, start_ref, stop_ref,
-                    fields_ref, cd_out, t_out, ncon_out, u_scr):
+def _tile_step_scalars(cfg, start, stop, j):
+    """Per-(sub-)tile scalar step geometry. Returns (fc, last, real,
+    is_last): the tile's first/last chunk indices, whether lockstep
+    position ``j`` is a real chunk of this tile (vs a clamped repeat when
+    another sub-tile of the window has more chunks), and whether it is the
+    tile's unique final chunk step (fires even for empty tiles)."""
+    cnt = stop - start
+    fc = jax.lax.div(start, CHUNK)
+    nst = jnp.where(cnt > 0,
+                    jax.lax.div(stop - 1, CHUNK) - fc + 1, 1)
+    last = fc + nst - 1
+    real = (fc + j) <= last
+    is_last = (fc + j) == last
+    return fc, last, real, is_last
+
+
+def _forward_kernel(cfg, window, sw_ref, sc_ref, ss_ref, cf_ref, start_ref,
+                    stop_ref, *refs):
+    field_refs = refs[:window]
+    cd_out, t_out, ncon_out, u_scr, t_scr, ncon_scr = refs[window:]
     c = pl.program_id(0)
-    t = ct_ref[c]
-    start = start_ref[t]
-    stop = stop_ref[t]
-    base = sc_ref[c] * CHUNK
+    w = sw_ref[c]
+    j = c - ss_ref[w]
     px_n = cfg.tile_px
 
-    @pl.when(c == ss_ref[t])
+    @pl.when(c == ss_ref[w])
     def _():
-        # first step of this tile: reset accumulators (the out blocks were
-        # just switched to this tile by the pipeline)
-        u_scr[...] = jnp.ones((px_n, 1), jnp.float32)
-        cd_out[0] = jnp.zeros((4, px_n), jnp.float32)
-        t_out[0] = jnp.ones((1, px_n), jnp.float32)
-        ncon_out[0] = jnp.zeros((1, px_n), jnp.int32)
+        # first step of this window: reset accumulators (the out blocks
+        # were just switched by the pipeline). T / n_contrib run in
+        # [PX, 1] column scratch and convert to the row-oriented out layout
+        # ONCE at each tile's last step — the sublane→lane relayout matmul
+        # per step was pure overhead.
+        u_scr[...] = jnp.ones((window, px_n, 1), jnp.float32)
+        t_scr[...] = jnp.ones((window, px_n, 1), jnp.float32)
+        ncon_scr[...] = jnp.zeros((window, px_n, 1), jnp.float32)
+        cd_out[...] = jnp.zeros((window, 4, px_n), jnp.float32)
 
-    U = u_scr[...]
+    pf = _pixel_features(cfg)
+    for q in range(window):
+        t = w * window + q
+        start = start_ref[t]
+        stop = stop_ref[t]
+        _, _, real, is_last = _tile_step_scalars(cfg, start, stop, j)
+        base = sc_ref[q, c] * CHUNK
+        U = u_scr[q]
 
-    @pl.when((base < stop) & (jnp.max(U) >= _T_EPS))
-    def _():
-        pf = _pixel_features(cfg)
-        tx0, ty0 = _tile_origin(cfg, t)
-        data = fields_ref[...]                           # [16, CHUNK]
-        cc = _chunk_core(data, tx0, ty0, pf, U, base, start, stop)
-        P_run, w, comp = cc["P_run"], cc["w"], cc["comp"]
+        @pl.when(real & (base < stop) & (jnp.max(U) >= _T_EPS))
+        def _(q=q, t=t, start=start, stop=stop, base=base, U=U):
+            tx0, ty0 = _tile_origin(cfg, t)
+            data = field_refs[q][...]                    # [16, CHUNK]
+            cc = _chunk_core(data, tx0, ty0, pf, U, base, start, stop)
+            P_run, wgt, comp = cc["P_run"], cc["w"], cc["comp"]
 
-        # color+depth accumulation: [4, CHUNK] ⨯ [PX, CHUNK] → [4, PX] (MXU)
-        cd_out[0] += jax.lax.dot_general(
-            data[6:10, :], w, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if cfg.need_n_contrib:
-            # n_contrib counts the composited index within the tile's list
-            idx1 = (base + cc["col"] - start + 1).astype(jnp.float32)
-            ncon_f = jnp.max(jnp.where(comp, idx1, 0.0), axis=1,
-                             keepdims=True)
-            ncon_out[0] = jnp.maximum(ncon_out[0],
-                                      _col_to_row(ncon_f).astype(jnp.int32))
-        # frozen output T = last composited P; unfrozen U keeps multiplying
-        t_new = jnp.min(jnp.where(comp, P_run, 2.0), axis=1, keepdims=True)
-        t_out[0] = jnp.minimum(t_out[0], _col_to_row(t_new))
-        u_scr[...] = P_run[:, CHUNK - 1:]
+            # color+depth: [4, CHUNK] ⨯ [PX, CHUNK] → [4, PX] (MXU)
+            cd_out[q] += jax.lax.dot_general(
+                data[6:10, :], wgt,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if cfg.need_n_contrib:
+                # n_contrib = composited index within the tile's list
+                idx1 = (base + cc["col"] - start + 1).astype(jnp.float32)
+                ncon_scr[q] = jnp.maximum(
+                    ncon_scr[q],
+                    jnp.max(jnp.where(comp, idx1, 0.0), axis=1,
+                            keepdims=True))
+            # frozen output T = last composited P; unfrozen U multiplies on
+            t_scr[q] = jnp.minimum(
+                t_scr[q],
+                jnp.min(jnp.where(comp, P_run, 2.0), axis=1, keepdims=True))
+            u_scr[q] = P_run[:, CHUNK - 1:]
+
+        @pl.when(is_last)
+        def _(q=q):
+            # unique last chunk step of this tile (early-exited tiles still
+            # reach it — compute is skipped but the step is enumerated):
+            # emit the row-layout outputs
+            t_out[q] = _col_to_row(t_scr[q])
+            ncon_out[q] = _col_to_row(ncon_scr[q]).astype(jnp.int32)
 
 
-def _backward_kernel(cfg, ct_ref, sc_ref, ss_ref, cf_ref, start_ref, stop_ref,
-                     fields_ref, dl_ref, bgdot_ref, grads_out,
-                     u_scr, w_scr):
+def _backward_kernel(cfg, window, sw_ref, sc_ref, ss_ref, cf_ref, start_ref,
+                     stop_ref, *refs):
+    field_refs = refs[:window]
+    dl_ref, bgdot_ref = refs[window], refs[window + 1]
+    grads_outs = refs[window + 2:window + 2 + window]
+    u_scr, w_scr = refs[window + 2 + window:]
     c = pl.program_id(0)
-    t = ct_ref[c]
-    start = start_ref[t]
-    stop = stop_ref[t]
-    base = sc_ref[c] * CHUNK
+    w = sw_ref[c]
+    j = c - ss_ref[w]
     px_n = cfg.tile_px
 
-    @pl.when(c == ss_ref[t])
+    @pl.when(c == ss_ref[w])
     def _():
-        u_scr[...] = jnp.ones((px_n, 1), jnp.float32)
-        w_scr[...] = jnp.zeros((px_n, 1), jnp.float32)
+        u_scr[...] = jnp.ones((window, px_n, 1), jnp.float32)
+        w_scr[...] = jnp.zeros((window, px_n, 1), jnp.float32)
 
-    U = u_scr[...]
-    compute = (base < stop) & (jnp.max(U) >= _T_EPS)
-    # a chunk straddling a tile boundary is visited by consecutive steps;
-    # only the first writer may clear the whole block
-    prev = jnp.where(cf_ref[c] == 1,
-                     jnp.zeros((NFIELD, CHUNK), jnp.float32),
-                     grads_out[...])
+    pf = _pixel_features(cfg)
+    for q in range(window):
+        t = w * window + q
+        start = start_ref[t]
+        stop = stop_ref[t]
+        _, _, real, _ = _tile_step_scalars(cfg, start, stop, j)
+        base = sc_ref[q, c] * CHUNK
+        U = u_scr[q]
+        grads_out = grads_outs[q]
+        compute = real & (base < stop) & (jnp.max(U) >= _T_EPS)
+        # a chunk straddling a tile boundary is visited by consecutive
+        # steps of this operand's stream; only the first writer may clear
+        # the whole block
+        prev = jnp.where(cf_ref[q, c] == 1,
+                         jnp.zeros((NFIELD, CHUNK), jnp.float32),
+                         grads_out[...])
 
-    @pl.when(compute)
-    def _():
-        pf = _pixel_features(cfg)
-        tx0, ty0 = _tile_origin(cfg, t)
-        data = fields_ref[...]
-        cc = _chunk_core(data, tx0, ty0, pf, U, base, start, stop)
-        G, mult, P_prev, w, comp = (cc["G"], cc["mult"], cc["P_prev"],
-                                    cc["w"], cc["comp"])
-        dl = dl_ref[0]                        # [4, PX]: color 0-2, depth 3
-        bgdot = _row_to_col(bgdot_ref[0])     # [PX, 1]
+        @pl.when(compute)
+        def _(q=q, t=t, start=start, stop=stop, base=base, U=U, prev=prev,
+              grads_out=grads_out):
+            tx0, ty0 = _tile_origin(cfg, t)
+            data = field_refs[q][...]
+            cc = _chunk_core(data, tx0, ty0, pf, U, base, start, stop)
+            G, mult, P_prev, wgt, comp = (cc["G"], cc["mult"], cc["P_prev"],
+                                          cc["w"], cc["comp"])
+            dl = dl_ref[q]                       # [4, PX]: color 0-2, depth 3
+            bgdot = _row_to_col(bgdot_ref[q])    # [PX, 1]
 
-        # per-pair dl·c: [4, PX] ⨯ [4, CHUNK] → [PX, CHUNK] (MXU)
-        dl_dot_c = jax.lax.dot_general(
-            dl, data[6:10, :], dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            # per-pair dl·c: [4, PX] ⨯ [4, CHUNK] → [PX, CHUNK] (MXU)
+            dl_dot_c = jax.lax.dot_general(
+                dl, data[6:10, :],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
-        # suffix via "total − prefix": host passes
-        # bgdot_in = dl·Σtotal + T_fin·(bg·dL_color + zfar·dL_depth), so
-        # S_j = Σ_{k>j} w_k (dl·c_k) + T_fin·bg_dot = bgdot_in − dlW_j
-        wc = w * dl_dot_c                                  # [PX, CHUNK]
-        dlW = w_scr[...] + _prefix_lane(wc)                # inclusive
-        S = bgdot - dlW
-        dL_dalpha = jnp.where(comp, dl_dot_c * P_prev - S / mult, 0.0)
+            # suffix via "total − prefix": host passes
+            # bgdot_in = dl·Σtotal + T_fin·(bg·dL_color + zfar·dL_depth), so
+            # S_j = Σ_{k>j} w_k (dl·c_k) + T_fin·bg_dot = bgdot_in − dlW_j
+            wc = wgt * dl_dot_c                               # [PX, CHUNK]
+            dlW = w_scr[q] + _prefix_lane(wc)                 # inclusive
+            S = bgdot - dlW
+            dL_dalpha = jnp.where(comp, dl_dot_c * P_prev - S / mult, 0.0)
 
-        # moment matmul: all pixel reductions at once.
-        # N = G·dL_dalpha; M = opac·N; with local pixel features (p, q):
-        #   T0..T5 = Σ_px N·[1, p, q, p², q², pq]  →  one MXU contraction
-        N = G * dL_dalpha                                  # [PX, CHUNK]
-        mom = jax.lax.dot_general(
-            pf, N, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                  # [8, CHUNK]
-        xl, yl = cc["xl"], cc["yl"]
-        ca, cb, ccc, opac = cc["ca"], cc["cb"], cc["cc"], cc["opac"]
-        M0 = opac * mom[0:1, :]
-        M1 = opac * mom[1:2, :]
-        M2 = opac * mom[2:3, :]
-        M3 = opac * mom[3:4, :]
-        M4 = opac * mom[4:5, :]
-        M5 = opac * mom[5:6, :]
-        Sx = xl * M0 - M1                # Σ M·dx   (dx = xl − p)
-        Sy = yl * M0 - M2                # Σ M·dy
-        dmx = -ca * Sx - cb * Sy
-        dmy = -ccc * Sy - cb * Sx
-        dca = -0.5 * (xl * xl * M0 - 2.0 * xl * M1 + M3)
-        dcb = -(xl * yl * M0 - xl * M2 - yl * M1 + M5)
-        dcc = -0.5 * (yl * yl * M0 - 2.0 * yl * M2 + M4)
-        dop = mom[0:1, :]                # Σ G·dL_dalpha
-        # per-pair color/depth grads: [4, PX] ⨯ [PX, CHUNK] → [4, CHUNK]
-        dcold = jnp.dot(dl, w, preferred_element_type=jnp.float32)
-        gout = jnp.concatenate(
-            [dmx, dmy, dca, dcb, dcc, dop, dcold,
-             jnp.zeros((NFIELD - 10, CHUNK), jnp.float32)],
-            axis=0,
-        )                                                  # [16, CHUNK]
-        grads_out[...] = jnp.where(cc["within"], gout, prev)
+            # moment matmul: all pixel reductions at once.
+            # N = G·dL_dalpha; M = opac·N; with local pixel features (p, q):
+            #   T0..T5 = Σ_px N·[1, p, q, p², q², pq] → one MXU contraction
+            N = G * dL_dalpha                                 # [PX, CHUNK]
+            mom = jax.lax.dot_general(
+                pf, N, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                 # [8, CHUNK]
+            xl, yl = cc["xl"], cc["yl"]
+            ca, cb, ccc, opac = cc["ca"], cc["cb"], cc["cc"], cc["opac"]
+            M0 = opac * mom[0:1, :]
+            M1 = opac * mom[1:2, :]
+            M2 = opac * mom[2:3, :]
+            M3 = opac * mom[3:4, :]
+            M4 = opac * mom[4:5, :]
+            M5 = opac * mom[5:6, :]
+            Sx = xl * M0 - M1                # Σ M·dx   (dx = xl − p)
+            Sy = yl * M0 - M2                # Σ M·dy
+            dmx = -ca * Sx - cb * Sy
+            dmy = -ccc * Sy - cb * Sx
+            dca = -0.5 * (xl * xl * M0 - 2.0 * xl * M1 + M3)
+            dcb = -(xl * yl * M0 - xl * M2 - yl * M1 + M5)
+            dcc = -0.5 * (yl * yl * M0 - 2.0 * yl * M2 + M4)
+            dop = mom[0:1, :]                # Σ G·dL_dalpha
+            # per-pair color/depth grads: [4, PX] ⨯ [PX, CHUNK] → [4, CHUNK]
+            dcold = jnp.dot(dl, wgt, preferred_element_type=jnp.float32)
+            gout = jnp.concatenate(
+                [dmx, dmy, dca, dcb, dcc, dop, dcold,
+                 jnp.zeros((NFIELD - 10, CHUNK), jnp.float32)],
+                axis=0,
+            )                                                 # [16, CHUNK]
+            grads_out[...] = jnp.where(cc["within"], gout, prev)
 
-        u_scr[...] = cc["P_run"][:, CHUNK - 1:]
-        w_scr[...] = dlW[:, CHUNK - 1:]
+            u_scr[q] = cc["P_run"][:, CHUNK - 1:]
+            w_scr[q] = dlW[:, CHUNK - 1:]
 
-    @pl.when(jnp.logical_not(compute))
-    def _():
-        # skipped steps (early-exit / empty tiles / capacity tail): this
-        # tile's columns contribute exactly zero — but keep other writers'
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-        pos = base + col
-        within = (pos >= start) & (pos < stop)
-        grads_out[...] = jnp.where(within,
-                                   jnp.zeros((NFIELD, CHUNK), jnp.float32),
-                                   prev)
+        @pl.when(jnp.logical_not(compute))
+        def _(start=start, stop=stop, base=base, real=real, prev=prev,
+              grads_out=grads_out):
+            # real steps skipped by early exit / empty tiles: this tile's
+            # columns contribute exactly zero — but keep other writers'.
+            # Clamped lockstep repeats (real == False) must preserve the
+            # block verbatim: their ``within`` span was already written by
+            # this tile's true last-chunk step.
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+            pos = base + col
+            within = (pos >= start) & (pos < stop) & real
+            grads_out[...] = jnp.where(
+                within, jnp.zeros((NFIELD, CHUNK), jnp.float32), prev)
 
 
 def forward(cfg, prep: Prepared):
     """Pallas forward. Returns tiled (C [T,PX,3], D [T,PX], T, n_con)."""
     nt, px_n = cfg.num_tiles, cfg.tile_px
+    window = cfg.window
+    nt_pad = prep.tile_start.shape[0]
     ns = prep.step_tile.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(ns,),
         in_specs=[
             pl.BlockSpec((NFIELD, CHUNK),
-                         lambda c, ct, sc, ss, cf, b, e: (0, sc[c]),
-                         memory_space=pltpu.VMEM),
+                         (lambda c, sw, sc, ss, cf, b, e, q=q: (0, sc[q, c])),
+                         memory_space=pltpu.VMEM)
+            for q in range(window)
         ],
         out_specs=[
-            pl.BlockSpec((1, 4, px_n),
-                         lambda c, ct, sc, ss, cf, b, e: (ct[c], 0, 0),
+            pl.BlockSpec((window, 4, px_n),
+                         lambda c, sw, sc, ss, cf, b, e: (sw[c], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, px_n),
-                         lambda c, ct, sc, ss, cf, b, e: (ct[c], 0, 0),
+            pl.BlockSpec((window, 1, px_n),
+                         lambda c, sw, sc, ss, cf, b, e: (sw[c], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, px_n),
-                         lambda c, ct, sc, ss, cf, b, e: (ct[c], 0, 0),
+            pl.BlockSpec((window, 1, px_n),
+                         lambda c, sw, sc, ss, cf, b, e: (sw[c], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((px_n, 1), jnp.float32),
+            pltpu.VMEM((window, px_n, 1), jnp.float32),
+            pltpu.VMEM((window, px_n, 1), jnp.float32),
+            pltpu.VMEM((window, px_n, 1), jnp.float32),
         ],
     )
     cd, t_fin, ncon = pl.pallas_call(
-        functools.partial(_forward_kernel, cfg),
+        functools.partial(_forward_kernel, cfg, window),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((nt, 4, px_n), jnp.float32),
-            jax.ShapeDtypeStruct((nt, 1, px_n), jnp.float32),
-            jax.ShapeDtypeStruct((nt, 1, px_n), jnp.int32),
+            jax.ShapeDtypeStruct((nt_pad, 4, px_n), jnp.float32),
+            jax.ShapeDtypeStruct((nt_pad, 1, px_n), jnp.float32),
+            jax.ShapeDtypeStruct((nt_pad, 1, px_n), jnp.int32),
         ],
         interpret=cfg.interpret,
     )(prep.step_tile, prep.step_chunk, prep.step_start, prep.chunk_first,
-      prep.tile_start, prep.tile_stop, prep.fields)
-    C = jnp.moveaxis(cd[:, :3, :], 1, 2)        # [T, PX, 3]
-    D = cd[:, 3, :]
-    return C, D, t_fin[:, 0, :], ncon[:, 0, :]
+      prep.tile_start, prep.tile_stop,
+      *([prep.fields] * window))
+    C = jnp.moveaxis(cd[:nt, :3, :], 1, 2)        # [T, PX, 3]
+    D = cd[:nt, 3, :]
+    return C, D, t_fin[:nt, 0, :], ncon[:nt, 0, :]
 
 
 def backward(cfg, prep: Prepared, num_gaussians, bg,
@@ -614,6 +711,8 @@ def backward(cfg, prep: Prepared, num_gaussians, bg,
     ``C_t``/``D_t``: the forward's pre-background color/depth sums — used
     for the total−prefix suffix trick."""
     nt, px_n = cfg.num_tiles, cfg.tile_px
+    window = cfg.window
+    nt_pad = prep.tile_start.shape[0]
     ns = prep.step_tile.shape[0]
     dl = jnp.concatenate(
         [jnp.moveaxis(dL_dpix_t, 2, 1), dL_dpixd_t[:, None, :]], axis=1
@@ -621,6 +720,9 @@ def backward(cfg, prep: Prepared, num_gaussians, bg,
     sigma_dot = jnp.sum(C_t * dL_dpix_t, axis=-1) + D_t * dL_dpixd_t  # [T, PX]
     bg_dot = (dL_dpix_t @ bg) + cfg.z_far * dL_dpixd_t                # [T, PX]
     bgdot_full = sigma_dot + final_T_t * bg_dot                       # [T, PX]
+    if nt_pad != nt:
+        dl = jnp.pad(dl, ((0, nt_pad - nt), (0, 0), (0, 0)))
+        bgdot_full = jnp.pad(bgdot_full, ((0, nt_pad - nt), (0, 0)))
 
     max_pairs = prep.fields.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -628,33 +730,51 @@ def backward(cfg, prep: Prepared, num_gaussians, bg,
         grid=(ns,),
         in_specs=[
             pl.BlockSpec((NFIELD, CHUNK),
-                         lambda c, ct, sc, ss, cf, b, e: (0, sc[c]),
-                         memory_space=pltpu.VMEM),         # fields
-            pl.BlockSpec((1, 4, px_n),
-                         lambda c, ct, sc, ss, cf, b, e: (ct[c], 0, 0),
+                         (lambda c, sw, sc, ss, cf, b, e, q=q: (0, sc[q, c])),
+                         memory_space=pltpu.VMEM)          # fields (per q)
+            for q in range(window)
+        ] + [
+            pl.BlockSpec((window, 4, px_n),
+                         lambda c, sw, sc, ss, cf, b, e: (sw[c], 0, 0),
                          memory_space=pltpu.VMEM),         # dl
-            pl.BlockSpec((1, 1, px_n),
-                         lambda c, ct, sc, ss, cf, b, e: (ct[c], 0, 0),
+            pl.BlockSpec((window, 1, px_n),
+                         lambda c, sw, sc, ss, cf, b, e: (sw[c], 0, 0),
                          memory_space=pltpu.VMEM),         # bgdot'
         ],
         out_specs=[
             pl.BlockSpec((NFIELD, CHUNK),
-                         lambda c, ct, sc, ss, cf, b, e: (0, sc[c]),
-                         memory_space=pltpu.VMEM),
+                         (lambda c, sw, sc, ss, cf, b, e, q=q: (0, sc[q, c])),
+                         memory_space=pltpu.VMEM)
+            for q in range(window)
         ],
         scratch_shapes=[
-            pltpu.VMEM((px_n, 1), jnp.float32),
-            pltpu.VMEM((px_n, 1), jnp.float32),
+            pltpu.VMEM((window, px_n, 1), jnp.float32),
+            pltpu.VMEM((window, px_n, 1), jnp.float32),
         ],
     )
-    pair_grads = pl.pallas_call(
-        functools.partial(_backward_kernel, cfg),
+    grads_list = pl.pallas_call(
+        functools.partial(_backward_kernel, cfg, window),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((NFIELD, max_pairs), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((NFIELD, max_pairs), jnp.float32)
+                   for _ in range(window)],
         interpret=cfg.interpret,
     )(prep.step_tile, prep.step_chunk, prep.step_start, prep.chunk_first,
-      prep.tile_start, prep.tile_stop, prep.fields, dl,
-      bgdot_full[:, None, :])[0]
+      prep.tile_start, prep.tile_stop, *([prep.fields] * window), dl,
+      bgdot_full[:, None, :])
+
+    if window == 1:
+        pair_grads = grads_list[0]
+    else:
+        # a slot's true grad lives in its OWNING sub-tile's operand; the
+        # other operands hold zeros (straddle visits) or garbage (blocks
+        # their stream never mapped) — select by owner, don't sum blindly
+        # where (not multiply): unmapped blocks can hold NaN garbage and
+        # NaN·0 = NaN
+        owner = prep.owner[None, :]                       # [1, max_pairs]
+        pair_grads = jnp.where(owner == 0, grads_list[0], 0.0)
+        for q in range(1, window):
+            pair_grads = pair_grads + jnp.where(owner == q,
+                                                grads_list[q], 0.0)
 
     # segment-sum pair grads by Gaussian id (deterministic, atomics-free).
     # Chunks past the last tile's stop are never visited (garbage) and all

@@ -44,6 +44,10 @@ class RasterizeConfig:
     use_sigmoid: bool = False
     scale_modifier: float = 1.0
     need_n_contrib: bool = True  # n_contrib image is diagnostic-only
+    window: int = 1             # pallas: tiles per grid step (see
+                                # pallas_blend — e.g. 16×16 tiles with
+                                # window=4 halve the pair-pixel volume of
+                                # 32×32 tiles at the same per-step shape)
 
     def __post_init__(self):
         if self.backend not in ("xla", "pallas", "oracle"):
@@ -57,7 +61,7 @@ class RasterizeConfig:
             tile_w=self.tile_w, tile_h=self.tile_h,
             k_max=self.k_max, max_pairs=self.max_pairs, z_far=self.z_far,
             backend=self.backend, interpret=self.interpret,
-            need_n_contrib=self.need_n_contrib,
+            need_n_contrib=self.need_n_contrib, window=self.window,
         )
 
 

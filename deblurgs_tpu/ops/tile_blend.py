@@ -55,6 +55,9 @@ class BlendConfig:
     interpret: bool = False    # pallas interpret mode (CPU testing)
     need_n_contrib: bool = True  # n_contrib output (diagnostic only; the
                                  # pallas backward recomputes its gates)
+    window: int = 1            # pallas: consecutive tiles sharing each grid
+                               # step (fine tiles cut pair-pixel volume; the
+                               # window amortizes the per-step overhead)
 
     @property
     def tiles_x(self) -> int:

@@ -73,6 +73,14 @@ def main():
     ap.add_argument("--true_scale", type=float, default=0.035,
                     help="true-scene Gaussian scale (world units; small = "
                          "high-frequency detail so blur is observable)")
+    ap.add_argument("--save_state", type=str, default=None,
+                    help="write the final TrainState checkpoint here")
+    ap.add_argument("--pose_refine_iters", type=int, default=0,
+                    help="iNeRF-style per-view pose refinement before the "
+                         "final sharp eval (the REFERENCE eval protocol: "
+                         "test.py re-registers + refines poses before "
+                         "metrics, because the scene/curve gauge can drift "
+                         "jointly; 0 = raw true-pose eval only)")
     ap.add_argument("--gt_oversample", type=int, default=1,
                     help="synthesize the blurry GT from n_sub*K uniform "
                          "trajectory samples (K>1 approximates CONTINUOUS "
@@ -276,6 +284,65 @@ def main():
                   f"({(time.time()-t0):.0f}s)")
 
     final_sharp = sharp_psnr(state)
+    refined_sharp = None
+    if args.pose_refine_iters > 0:
+        # reference eval protocol analog (test.py:131-186): refine each
+        # evaluation pose photometrically before metrics — the joint
+        # scene+curve solution is gauge-free, so the true-pose eval
+        # undercounts quality by the gauge offset
+        from deblurgs_tpu.core import transforms as tfm
+        from deblurgs_tpu.train import optim as optim_lib
+
+        def rotmat_to_quat(R):
+            # w-first, from the trace (small-angle safe enough here)
+            w = jnp.sqrt(jnp.maximum(1 + R[0, 0] + R[1, 1] + R[2, 2], 1e-8)) / 2
+            x = (R[2, 1] - R[1, 2]) / (4 * w)
+            y = (R[0, 2] - R[2, 0]) / (4 * w)
+            z = (R[1, 0] - R[0, 1]) / (4 * w)
+            return jnp.stack([w, x, y, z])
+
+        rin_f = gm.render_inputs(state.params, gcfg)
+
+        def render_pose(quat, trans):
+            R = tfm.quat_to_rotmat(quat + 1e-8, normalize=True)
+            view = jnp.zeros((4, 4), jnp.float32)
+            view = view.at[:3, :3].set(R).at[3, :3].set(trans).at[3, 3].set(1.0)
+            cam = cam_lib.make_camera_arrays(view, proj)
+            return render(rin_f["means3d"], rin_f["scales"],
+                          rin_f["rotations"], rin_f["opacities"], rin_f["shs"],
+                          cam, cs, jnp.zeros(3), cfg=rcfg, sh_degree=2,
+                          active=state.aux.active).image
+
+        def refine_one(cam0, gt):
+            quat0 = rotmat_to_quat(cam0.view[:3, :3])
+            trans0 = cam0.view[3, :3]
+            pose = (quat0, trans0)
+            st_o = optim_lib.init(pose)
+
+            def loss_fn(p):
+                img = render_pose(*p)
+                return jnp.abs(img - gt).mean()
+
+            @jax.jit
+            def stp(p, st_o, lr_scale):
+                l, g = jax.value_and_grad(loss_fn)(p)
+                p, st_o = optim_lib.update(
+                    p, g, st_o, (5e-5 * lr_scale, 5e-4 * lr_scale))
+                return p, st_o, l
+
+            for e in range(args.pose_refine_iters):
+                lr_scale = jnp.float32(0.9 ** (e * 20 // max(args.pose_refine_iters, 1)))
+                pose, st_o, _ = stp(pose, st_o, lr_scale)
+            img = jnp.clip(render_pose(*pose), 0, 1)
+            return float(psnr(img, jnp.clip(gt, 0, 1)))
+
+        vals = [refine_one(mid_cams[i], sharp_gts[i])
+                for i in range(args.n_cams)]
+        refined_sharp = float(np.mean(vals))
+        print(f"pose-refined sharp PSNR: {refined_sharp:.2f} dB")
+    if args.save_state:
+        from deblurgs_tpu.train import checkpoint as ckpt_lib
+        ckpt_lib.save_checkpoint(args.save_state, state)
     tr_err = traj_error(state.motion)
     init_err = traj_error(motion0)
     n_overflow = int(state.overflow_count)
@@ -289,6 +356,7 @@ def main():
                 "sharp_psnr": final_sharp, "traj_err": tr_err,
                 "traj_err_init": init_err, "overflow_steps": n_overflow,
                 "final_points": int(state.aux.active.sum()),
+                "sharp_psnr_pose_refined": refined_sharp,
                 "iters": args.iters, "n_cams": args.n_cams,
                 "n_sub": args.n_sub, "size": args.size,
                 "no_curve": args.no_curve, "no_densify": args.no_densify,

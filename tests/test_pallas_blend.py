@@ -20,6 +20,8 @@ PL_CFG = RasterizeConfig(backend="pallas", max_pairs=1 << 14, interpret=True)
 
 
 class TestPallasParity:
+    PL_CFG = PL_CFG
+    XLA_CFG = XLA_CFG
     def setup_method(self, method):
         self.cam, self.cs, _ = make_camera(width=48, height=32)
         (self.means, self.scales, self.rots,
@@ -32,8 +34,8 @@ class TestPallasParity:
                       self.cam, self.cs, self.bg, cfg=cfg, sh_degree=1)
 
     def test_forward_parity(self):
-        a = self._render(PL_CFG)
-        b = self._render(XLA_CFG)
+        a = self._render(self.PL_CFG)
+        b = self._render(self.XLA_CFG)
         np.testing.assert_allclose(np.asarray(a.image), np.asarray(b.image),
                                    atol=2e-5, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth),
@@ -56,9 +58,9 @@ class TestPallasParity:
         )
         opac = jnp.full_like(self.opac, 0.98)
         a = render(means, self.scales, self.rots, opac, self.shs,
-                   self.cam, self.cs, self.bg, cfg=PL_CFG, sh_degree=1)
+                   self.cam, self.cs, self.bg, cfg=self.PL_CFG, sh_degree=1)
         b = render(means, self.scales, self.rots, opac, self.shs,
-                   self.cam, self.cs, self.bg, cfg=XLA_CFG, sh_degree=1)
+                   self.cam, self.cs, self.bg, cfg=self.XLA_CFG, sh_degree=1)
         assert float(jnp.min(b.final_T)) < 1e-3  # termination actually hit
         np.testing.assert_allclose(np.asarray(a.image), np.asarray(b.image),
                                    atol=5e-5, rtol=1e-3)
@@ -75,9 +77,9 @@ class TestPallasParity:
             return jnp.sum(out.image * w_img) + jnp.sum(out.depth * w_depth)
 
         args = (self.means, self.scales, self.rots, self.opac, self.shs, self.cam)
-        g_pl = jax.grad(functools.partial(loss, PL_CFG),
+        g_pl = jax.grad(functools.partial(loss, self.PL_CFG),
                         argnums=(0, 1, 2, 3, 4, 5))(*args)
-        g_xla = jax.grad(functools.partial(loss, XLA_CFG),
+        g_xla = jax.grad(functools.partial(loss, self.XLA_CFG),
                          argnums=(0, 1, 2, 3, 4, 5))(*args)
         for name, a, b in zip(
             ["means", "scales", "rots", "opac", "shs", "cam"], g_pl, g_xla
@@ -91,3 +93,24 @@ class TestPallasParity:
                 # segment-sum association order)
                 np.testing.assert_allclose(la / scale, lb / scale, atol=1e-4,
                                            err_msg=f"grad mismatch: {name}")
+
+
+class TestPallasParityWindowed(TestPallasParity):
+    """window=4 grid (4 fine tiles per step): same semantics, ~half the
+    pair-pixel volume at bench tile sizes. 8x8 tiles on a 48x32 image give
+    6x4 = 24 tiles -> 6 windows, plus multi-chunk and straddle coverage.
+    The XLA reference runs at the same tile size so binning layouts match
+    exactly (equal-depth orderings included)."""
+
+    PL_CFG = RasterizeConfig(backend="pallas", max_pairs=1 << 14,
+                             interpret=True, window=4, tile_w=8, tile_h=8)
+    XLA_CFG = RasterizeConfig(backend="xla", max_pairs=1 << 14, k_max=512,
+                              tile_w=8, tile_h=8)
+
+
+class TestPallasParityWindowPad(TestPallasParity):
+    """window=4 with num_tiles not divisible by the window (3x2 16px tiles
+    -> nt=6, padded to 8): exercises the padded-tile gates."""
+
+    PL_CFG = RasterizeConfig(backend="pallas", max_pairs=1 << 14,
+                             interpret=True, window=4)
