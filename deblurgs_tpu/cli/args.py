@@ -75,6 +75,7 @@ class ModelParams(ParamGroup):
         self.backend = "pallas"       # "pallas" | "xla" | "oracle"
         self.max_pairs = 1 << 19
         self.tile = 16
+        self.window = 1               # pallas: tiles per kernel grid step
 
         super().__init__(parser, "Loading Parameters", sentinel)
 

@@ -39,6 +39,7 @@ def build_configs(lp, op):
         backend=lp.backend, cull_z=lp.z_near, z_far=lp.z_far,
         use_sigmoid=lp.activation == "sigmoid",
         need_n_contrib=False,  # diagnostic-only output; skip in training
+        window=lp.window,
     )
     return gcfg, mcfg, ocfg, rcfg
 

@@ -63,6 +63,8 @@ def load_session(model_path: str, source_path: str | None = None,
     rcfg = RasterizeConfig(
         backend=backend or getattr(args, "backend", "xla"),
         max_pairs=getattr(args, "max_pairs", 1 << 19),
+        tile_w=getattr(args, "tile", 16), tile_h=getattr(args, "tile", 16),
+        window=getattr(args, "window", 1),
         cull_z=gcfg.z_near, z_far=gcfg.z_far, use_sigmoid=use_sigmoid,
     )
     scene = Scene(

@@ -108,6 +108,9 @@ class Prepared(NamedTuple):
     n_emit: jax.Array | None = None  # [] int32 emitting-Gaussian count
     owner: jax.Array | None = None   # [max_pairs] int32 slot's tile % window
                                      # (window > 1 backward select-sum)
+    num_steps: jax.Array | None = None  # [] int32 REAL step count (dynamic
+                                        # grid trims the clamped no-op tail
+                                        # of the static NS bound)
 
 
 def _num_steps_static(max_pairs: int, num_tiles: int, window: int = 1) -> int:
@@ -168,8 +171,9 @@ def _step_maps(num_tiles, tile_start, tile_stop, max_pairs, window: int = 1):
         [jnp.ones((window, 1), jnp.int32),
          (step_chunk[:, 1:] != step_chunk[:, :-1]).astype(jnp.int32)],
         axis=1)
+    num_steps = (step_start[-1] + nsteps_w[-1]).astype(jnp.int32)
     return (tile_start, tile_stop, step_win, step_chunk, step_start,
-            chunk_first)
+            chunk_first, num_steps)
 
 
 def _broadcast_kernel(w_ref, ctab_a, ctab_b, gc_ref, out_ref):
@@ -285,15 +289,16 @@ def prepare_fused(cfg, means2d, conic, opacity, color, depth, rect, area,
     max_per_tile = jnp.max(tile_stop - tile_start)
 
     (tile_start, tile_stop, step_tile, step_chunk, step_start,
-     chunk_first) = _step_maps(num_tiles, tile_start, tile_stop, max_pairs,
-                               cfg.window)
+     chunk_first, num_steps) = _step_maps(num_tiles, tile_start, tile_stop,
+                                          max_pairs, cfg.window)
     owner = (s_tile % cfg.window).astype(jnp.int32) if cfg.window > 1 \
         else None
     prep = Prepared(
         fields=fields, pair_gauss=s_gc,
         tile_start=tile_start, tile_stop=tile_stop,
         step_tile=step_tile, step_chunk=step_chunk, step_start=step_start,
-        chunk_first=chunk_first, ids=ids, n_emit=n_emit, owner=owner)
+        chunk_first=chunk_first, ids=ids, n_emit=n_emit, owner=owner,
+        num_steps=num_steps)
     return prep, total, max_per_tile
 
 
@@ -309,8 +314,8 @@ def prepare(cfg, pair_gauss, pair_tile, tile_start, tile_stop,
     owner = (pair_tile % cfg.window).astype(jnp.int32) if cfg.window > 1 \
         else None
     (tile_start, tile_stop, step_tile, step_chunk, step_start,
-     chunk_first) = _step_maps(num_tiles, tile_start, tile_stop, max_pairs,
-                               cfg.window)
+     chunk_first, num_steps) = _step_maps(num_tiles, tile_start, tile_stop,
+                                          max_pairs, cfg.window)
 
     P = means2d.shape[0]
     g = jnp.clip(pair_gauss, 0, P - 1)
@@ -330,7 +335,7 @@ def prepare(cfg, pair_gauss, pair_tile, tile_start, tile_stop,
                     tile_start=tile_start, tile_stop=tile_stop,
                     step_tile=step_tile, step_chunk=step_chunk,
                     step_start=step_start, chunk_first=chunk_first,
-                    owner=owner)
+                    owner=owner, num_steps=num_steps)
 
 
 def _utri(exclusive: bool = False):
@@ -368,6 +373,16 @@ def _row_to_col(row):
 
 
 _PREFIX_IMPL = _os.environ.get("DEBLURGS_PREFIX_IMPL", "bf16x2")
+# dynamic grid size = real step count (trims the clamped no-op tail of the
+# static bound. Mosaic supports dynamic grid dims; opt-out escape hatch.)
+_DYN_GRID = _os.environ.get("DEBLURGS_DYNGRID", "0") == "1"
+
+
+def _grid_size(prep: Prepared):
+    ns = prep.step_tile.shape[0]
+    if _DYN_GRID and prep.num_steps is not None:
+        return jnp.minimum(prep.num_steps, ns)
+    return ns
 
 
 def _prefix_lane(x, exclusive: bool = False):
@@ -660,10 +675,9 @@ def forward(cfg, prep: Prepared):
     nt, px_n = cfg.num_tiles, cfg.tile_px
     window = cfg.window
     nt_pad = prep.tile_start.shape[0]
-    ns = prep.step_tile.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
-        grid=(ns,),
+        grid=(_grid_size(prep),),
         in_specs=[
             pl.BlockSpec((NFIELD, CHUNK),
                          (lambda c, sw, sc, ss, cf, b, e, q=q: (0, sc[q, c])),
@@ -713,7 +727,6 @@ def backward(cfg, prep: Prepared, num_gaussians, bg,
     nt, px_n = cfg.num_tiles, cfg.tile_px
     window = cfg.window
     nt_pad = prep.tile_start.shape[0]
-    ns = prep.step_tile.shape[0]
     dl = jnp.concatenate(
         [jnp.moveaxis(dL_dpix_t, 2, 1), dL_dpixd_t[:, None, :]], axis=1
     )                                                     # [T, 4, PX]
@@ -727,7 +740,7 @@ def backward(cfg, prep: Prepared, num_gaussians, bg,
     max_pairs = prep.fields.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
-        grid=(ns,),
+        grid=(_grid_size(prep),),
         in_specs=[
             pl.BlockSpec((NFIELD, CHUNK),
                          (lambda c, sw, sc, ss, cf, b, e, q=q: (0, sc[q, c])),

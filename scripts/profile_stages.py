@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--tile", type=int, default=32)
+    ap.add_argument("--window", type=int, default=1,
+                    help="tiles per pallas grid step (e.g. --tile 16 "
+                         "--window 4 = the fine-tile windowed kernel)")
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
 
@@ -58,7 +61,7 @@ def main():
     print(f"num_pairs={num_pairs} max_pairs={max_pairs}", flush=True)
     cfg = RasterizeConfig(backend=backend, max_pairs=max_pairs, k_max=2048,
                           tile_w=args.tile, tile_h=args.tile,
-                          need_n_contrib=False)
+                          need_n_contrib=False, window=args.window)
     bcfg = cfg.blend_config(cs)
 
     def _pre(g):

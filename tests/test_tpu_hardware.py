@@ -46,16 +46,30 @@ _SCRIPT = textwrap.dedent("""
         f = jax.jit(lambda m: render(m, scales, rots, opac, shs, cam, cs,
                                      bg, cfg=cfg, sh_degree=2).image)
         outs[backend] = np.asarray(f(means))
+    # windowed fine-tile kernel (own binning layout → own oracle check)
+    cfgw = RasterizeConfig(backend="pallas", max_pairs=1 << 16, k_max=2048,
+                           tile_w=16, tile_h=16, window=4)
+    fw = jax.jit(lambda m: render(m, scales, rots, opac, shs, cam, cs,
+                                  bg, cfg=cfgw, sh_degree=2).image)
+    cfgx16 = RasterizeConfig(backend="xla", max_pairs=1 << 16, k_max=2048,
+                             tile_w=16, tile_h=16)
+    fx16 = jax.jit(lambda m: render(m, scales, rots, opac, shs, cam, cs,
+                                    bg, cfg=cfgx16, sh_degree=2).image)
+    outs["pallas_w4"] = np.asarray(fw(means))
+    outs["xla16"] = np.asarray(fx16(means))
     cfg = RasterizeConfig(backend="xla", max_pairs=1 << 15, k_max=2048)
     out = render(means, scales, rots, opac, shs, cam, cs, bg, cfg=cfg,
                  sh_degree=2)
     assert int(out.max_per_tile) <= 2048, int(out.max_per_tile)
     diff = float(np.abs(outs["pallas"] - outs["xla"]).max())
     diff_oracle = float(np.abs(outs["pallas"] - outs["oracle"]).max())
+    diff_w4 = float(np.abs(outs["pallas_w4"] - outs["xla16"]).max())
     print(json.dumps({"max_image_diff": diff,
-                      "max_vs_oracle_diff": diff_oracle}))
+                      "max_vs_oracle_diff": diff_oracle,
+                      "max_w4_diff": diff_w4}))
     assert diff < 1e-3, diff
     assert diff_oracle < 1e-3, diff_oracle
+    assert diff_w4 < 1e-3, diff_w4
 """)
 
 
