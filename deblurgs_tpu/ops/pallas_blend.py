@@ -602,7 +602,7 @@ def _backward_kernel(cfg, window, sw_ref, sc_ref, ss_ref, cf_ref, start_ref,
             G, mult, P_prev, wgt, comp = (cc["G"], cc["mult"], cc["P_prev"],
                                           cc["w"], cc["comp"])
             dl = dl_ref[q]                       # [4, PX]: color 0-2, depth 3
-            bgdot = _row_to_col(bgdot_ref[q])    # [PX, 1]
+            bgdot = bgdot_ref[q]                 # [PX, 1] (host sends columns)
 
             # per-pair dl·c: [4, PX] ⨯ [4, CHUNK] → [PX, CHUNK] (MXU)
             dl_dot_c = jax.lax.dot_general(
@@ -750,9 +750,9 @@ def backward(cfg, prep: Prepared, num_gaussians, bg,
             pl.BlockSpec((window, 4, px_n),
                          lambda c, sw, sc, ss, cf, b, e: (sw[c], 0, 0),
                          memory_space=pltpu.VMEM),         # dl
-            pl.BlockSpec((window, 1, px_n),
+            pl.BlockSpec((window, px_n, 1),
                          lambda c, sw, sc, ss, cf, b, e: (sw[c], 0, 0),
-                         memory_space=pltpu.VMEM),         # bgdot'
+                         memory_space=pltpu.VMEM),         # bgdot' (column)
         ],
         out_specs=[
             pl.BlockSpec((NFIELD, CHUNK),
@@ -773,7 +773,7 @@ def backward(cfg, prep: Prepared, num_gaussians, bg,
         interpret=cfg.interpret,
     )(prep.step_tile, prep.step_chunk, prep.step_start, prep.chunk_first,
       prep.tile_start, prep.tile_stop, *([prep.fields] * window), dl,
-      bgdot_full[:, None, :])
+      bgdot_full[:, :, None])
 
     if window == 1:
         pair_grads = grads_list[0]

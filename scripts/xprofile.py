@@ -40,6 +40,7 @@ def main():
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--tile", type=int, default=32)
+    ap.add_argument("--window", type=int, default=1)
     ap.add_argument("--bwd", action="store_true")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--logdir", default="/tmp/xprof_trace")
@@ -58,7 +59,7 @@ def main():
     max_pairs = max(int(num_pairs * 1.1) + 1023 & ~1023, 1 << 14)
     cfg = RasterizeConfig(backend="pallas", max_pairs=max_pairs, k_max=2048,
                           tile_w=args.tile, tile_h=args.tile,
-                          need_n_contrib=False)
+                          need_n_contrib=False, window=args.window)
 
     if args.bwd:
         def step(*g):
