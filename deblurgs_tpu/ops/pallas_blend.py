@@ -347,31 +347,6 @@ def _utri(exclusive: bool = False):
     return ((ri < ci) if exclusive else (ri <= ci)).astype(jnp.float32)
 
 
-def _eye(n):
-    ri = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    return (ri == ci).astype(jnp.float32)
-
-
-def _col_to_row(col):
-    """[N, 1] -> [1, N] via an MXU contraction (avoids a sublane↔lane
-    relayout transpose)."""
-    n = col.shape[0]
-    return jax.lax.dot_general(
-        col, _eye(n), dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-
-def _row_to_col(row):
-    """[1, N] -> [N, 1] via an MXU contraction."""
-    n = row.shape[1]
-    return jax.lax.dot_general(
-        _eye(n), row, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-
 _PREFIX_IMPL = _os.environ.get("DEBLURGS_PREFIX_IMPL", "bf16x2")
 # dynamic grid size = real step count (trims the clamped no-op tail of the
 # static bound. Mosaic supports dynamic grid dims; opt-out escape hatch.)
@@ -498,7 +473,11 @@ def _tile_step_scalars(cfg, start, stop, j):
 def _forward_kernel(cfg, window, sw_ref, sc_ref, ss_ref, cf_ref, start_ref,
                     stop_ref, *refs):
     field_refs = refs[:window]
-    cd_out, t_out, ncon_out, u_scr, t_scr, ncon_scr = refs[window:]
+    if cfg.need_n_contrib:
+        cd_out, t_out, ncon_out, u_scr, ncon_scr = refs[window:]
+    else:
+        cd_out, t_out, u_scr = refs[window:]
+        ncon_out = ncon_scr = None
     c = pl.program_id(0)
     w = sw_ref[c]
     j = c - ss_ref[w]
@@ -507,13 +486,16 @@ def _forward_kernel(cfg, window, sw_ref, sc_ref, ss_ref, cf_ref, start_ref,
     @pl.when(c == ss_ref[w])
     def _():
         # first step of this window: reset accumulators (the out blocks
-        # were just switched by the pipeline). T / n_contrib run in
-        # [PX, 1] column scratch and convert to the row-oriented out layout
-        # ONCE at each tile's last step — the sublane→lane relayout matmul
-        # per step was pure overhead.
+        # were just switched by the pipeline). T / n_contrib / the running
+        # product live in [PX, 1] COLUMN layout end to end — outputs
+        # included; the host transposes once. (An in-kernel conversion to
+        # row layout costs either a per-step relayout matmul or, on each
+        # tile's last step, materializing a [PX, PX] identity — ~1M VPU
+        # lanes per tile, which measured as ~9 ms at 1080p/100k.)
         u_scr[...] = jnp.ones((window, px_n, 1), jnp.float32)
-        t_scr[...] = jnp.ones((window, px_n, 1), jnp.float32)
-        ncon_scr[...] = jnp.zeros((window, px_n, 1), jnp.float32)
+        t_out[...] = jnp.ones((window, px_n, 1), jnp.float32)
+        if cfg.need_n_contrib:
+            ncon_scr[...] = jnp.zeros((window, px_n, 1), jnp.float32)
         cd_out[...] = jnp.zeros((window, 4, px_n), jnp.float32)
 
     pf = _pixel_features(cfg)
@@ -546,18 +528,16 @@ def _forward_kernel(cfg, window, sw_ref, sc_ref, ss_ref, cf_ref, start_ref,
                     jnp.max(jnp.where(comp, idx1, 0.0), axis=1,
                             keepdims=True))
             # frozen output T = last composited P; unfrozen U multiplies on
-            t_scr[q] = jnp.minimum(
-                t_scr[q],
+            t_out[q] = jnp.minimum(
+                t_out[q],
                 jnp.min(jnp.where(comp, P_run, 2.0), axis=1, keepdims=True))
             u_scr[q] = P_run[:, CHUNK - 1:]
 
-        @pl.when(is_last)
-        def _(q=q):
-            # unique last chunk step of this tile (early-exited tiles still
-            # reach it — compute is skipped but the step is enumerated):
-            # emit the row-layout outputs
-            t_out[q] = _col_to_row(t_scr[q])
-            ncon_out[q] = _col_to_row(ncon_scr[q]).astype(jnp.int32)
+        if cfg.need_n_contrib:
+
+            @pl.when(is_last)
+            def _(q=q):
+                ncon_out[q] = ncon_scr[q].astype(jnp.int32)
 
 
 def _backward_kernel(cfg, window, sw_ref, sc_ref, ss_ref, cf_ref, start_ref,
@@ -675,6 +655,26 @@ def forward(cfg, prep: Prepared):
     nt, px_n = cfg.num_tiles, cfg.tile_px
     window = cfg.window
     nt_pad = prep.tile_start.shape[0]
+    out_specs = [
+        pl.BlockSpec((window, 4, px_n),
+                     lambda c, sw, sc, ss, cf, b, e: (sw[c], 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((window, px_n, 1),
+                     lambda c, sw, sc, ss, cf, b, e: (sw[c], 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((nt_pad, 4, px_n), jnp.float32),
+        jax.ShapeDtypeStruct((nt_pad, px_n, 1), jnp.float32),
+    ]
+    scratch = [pltpu.VMEM((window, px_n, 1), jnp.float32)]
+    if cfg.need_n_contrib:
+        out_specs.append(
+            pl.BlockSpec((window, px_n, 1),
+                         lambda c, sw, sc, ss, cf, b, e: (sw[c], 0, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((nt_pad, px_n, 1), jnp.int32))
+        scratch.append(pltpu.VMEM((window, px_n, 1), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(_grid_size(prep),),
@@ -684,38 +684,25 @@ def forward(cfg, prep: Prepared):
                          memory_space=pltpu.VMEM)
             for q in range(window)
         ],
-        out_specs=[
-            pl.BlockSpec((window, 4, px_n),
-                         lambda c, sw, sc, ss, cf, b, e: (sw[c], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((window, 1, px_n),
-                         lambda c, sw, sc, ss, cf, b, e: (sw[c], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((window, 1, px_n),
-                         lambda c, sw, sc, ss, cf, b, e: (sw[c], 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((window, px_n, 1), jnp.float32),
-            pltpu.VMEM((window, px_n, 1), jnp.float32),
-            pltpu.VMEM((window, px_n, 1), jnp.float32),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
-    cd, t_fin, ncon = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(_forward_kernel, cfg, window),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((nt_pad, 4, px_n), jnp.float32),
-            jax.ShapeDtypeStruct((nt_pad, 1, px_n), jnp.float32),
-            jax.ShapeDtypeStruct((nt_pad, 1, px_n), jnp.int32),
-        ],
+        out_shape=out_shape,
         interpret=cfg.interpret,
     )(prep.step_tile, prep.step_chunk, prep.step_start, prep.chunk_first,
       prep.tile_start, prep.tile_stop,
       *([prep.fields] * window))
+    cd, t_fin = outs[0], outs[1]
     C = jnp.moveaxis(cd[:nt, :3, :], 1, 2)        # [T, PX, 3]
     D = cd[:nt, 3, :]
-    return C, D, t_fin[:nt, 0, :], ncon[:nt, 0, :]
+    if cfg.need_n_contrib:
+        ncon = outs[2][:nt, :, 0]
+    else:
+        ncon = jnp.zeros((nt, px_n), jnp.int32)
+    return C, D, t_fin[:nt, :, 0], ncon
 
 
 def backward(cfg, prep: Prepared, num_gaussians, bg,

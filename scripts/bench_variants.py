@@ -1,0 +1,80 @@
+"""Quick (tile, window) sweep of end-to-end forward (and fwd+bwd) wall time
+at bench scale — one process, pipelined timing, distinct inputs per call
+(the remote tunnel value-caches identical dispatches).
+
+Usage: python scripts/bench_variants.py [--variants 32x1,16x4,16x2]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+from bench import build_scene
+from deblurgs_tpu.ops.rasterize import RasterizeConfig, render
+
+
+def timeit(fn, variants, iters):
+    out = fn(*variants[0])
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for i in range(iters):
+        out = fn(*variants[i % len(variants)])
+    jax.block_until_ready(out)
+    return (time.time() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--variants", type=str, default="32x1,16x4,16x2")
+    ap.add_argument("--bwd", action="store_true")
+    args = ap.parse_args()
+
+    gauss, cam, cs = build_scene(n=args.n, width=args.width,
+                                 height=args.height)
+    bg = jnp.zeros(3)
+    inputs = [(gauss[0] + i * 1e-5,) + gauss[1:] for i in range(args.iters)]
+    jax.block_until_ready(inputs)
+
+    pair_cache = {}
+    for spec in args.variants.split(","):
+        tile, window = (int(v) for v in spec.split("x"))
+        if tile not in pair_cache:
+            probe_cfg = RasterizeConfig(backend="xla", max_pairs=1 << 20,
+                                        k_max=8, tile_w=tile, tile_h=tile)
+            probe = jax.jit(lambda *a: render(
+                *a, cam, cs, bg, cfg=probe_cfg, sh_degree=2).num_pairs)
+            pair_cache[tile] = int(probe(*gauss))
+        num_pairs = pair_cache[tile]
+        max_pairs = max(int(num_pairs * 1.1) + 1023 & ~1023, 1 << 14)
+        cfg = RasterizeConfig(backend="pallas", max_pairs=max_pairs,
+                              k_max=2048, tile_w=tile, tile_h=tile,
+                              need_n_contrib=False, window=window)
+
+        fwd = jax.jit(lambda *a: render(*a, cam, cs, bg, cfg=cfg,
+                                        sh_degree=2).image)
+        dt = timeit(fwd, inputs, args.iters)
+        line = (f"tile{tile} w{window}: pairs={num_pairs} "
+                f"fwd {dt * 1e3:7.2f} ms ({1.0 / dt:6.1f}/s)")
+        if args.bwd:
+            def step(*g, _cfg=cfg):
+                def loss(means):
+                    out = render(means, *g[1:], cam, cs, bg, cfg=_cfg,
+                                 sh_degree=2)
+                    return out.image.sum() + out.depth.sum()
+                return jax.grad(loss)(g[0])
+            dtb = timeit(jax.jit(step), inputs, args.iters)
+            line += f"  fwd+bwd {dtb * 1e3:7.2f} ms ({1.0 / dtb:6.1f}/s)"
+        print(line, flush=True)
+
+
+if __name__ == "__main__":
+    main()

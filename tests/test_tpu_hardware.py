@@ -57,6 +57,12 @@ _SCRIPT = textwrap.dedent("""
                                     bg, cfg=cfgx16, sh_degree=2).image)
     outs["pallas_w4"] = np.asarray(fw(means))
     outs["xla16"] = np.asarray(fx16(means))
+    # windowed backward on-device (owner select-sum across sub-tile operand
+    # streams is window-specific logic the forward never exercises)
+    gw = np.asarray(jax.jit(jax.grad(lambda m: fw(m).sum()))(means))
+    gx = np.asarray(jax.jit(jax.grad(lambda m: fx16(m).sum()))(means))
+    gscale = float(np.abs(gx).max()) or 1.0
+    diff_w4_grad = float(np.abs(gw - gx).max()) / gscale
     cfg = RasterizeConfig(backend="xla", max_pairs=1 << 15, k_max=2048)
     out = render(means, scales, rots, opac, shs, cam, cs, bg, cfg=cfg,
                  sh_degree=2)
@@ -66,10 +72,12 @@ _SCRIPT = textwrap.dedent("""
     diff_w4 = float(np.abs(outs["pallas_w4"] - outs["xla16"]).max())
     print(json.dumps({"max_image_diff": diff,
                       "max_vs_oracle_diff": diff_oracle,
-                      "max_w4_diff": diff_w4}))
+                      "max_w4_diff": diff_w4,
+                      "max_w4_grad_diff": diff_w4_grad}))
     assert diff < 1e-3, diff
     assert diff_oracle < 1e-3, diff_oracle
     assert diff_w4 < 1e-3, diff_w4
+    assert diff_w4_grad < 1e-3, diff_w4_grad
 """)
 
 
