@@ -229,17 +229,12 @@ def broadcast_fields(ctable, gauss_c, *, interpret=False):
     )(win_blk, ctable, ctable, gauss_c[None, :])[0]
 
 
-def prepare_fused(cfg, means2d, conic, opacity, color, depth, rect, area,
-                  max_pairs: int):
-    """Expansion → segmented broadcast → through-sort field staging.
-
-    Replaces [gather rect rows] + [sort ids] + [gather field rows] with ONE
-    compact-table build (P rows), a sequential-DMA broadcast kernel, and a
-    sort that carries the field rows as operands — TPU gathers/scatters
-    cost per row (~15 ns), so at 1080p bench scale this removes ~600k
-    gathered rows from the hot path. Returns (Prepared, num_pairs,
-    max_per_tile).
-    """
+def _sort_stage(cfg, means2d, conic, opacity, color, depth, rect, area,
+                max_pairs: int):
+    """Shared fused staging: expansion → segmented broadcast → through-sort
+    fields. Returns (fields [16, max_pairs] with rows 10-12 holding the
+    sorted tile id and tile origin (f32 exact), s_tile, s_gc, ids, n_emit,
+    tile_start, tile_stop, total, max_per_tile)."""
     from deblurgs_tpu.ops import binning as binning_lib
 
     num_tiles = cfg.num_tiles
@@ -278,16 +273,49 @@ def prepare_fused(cfg, means2d, conic, opacity, color, depth, rect, area,
         num_keys=2, is_stable=True,
     )
     s_tile, s_depth, s_gc = sorted_ops[0], sorted_ops[1], sorted_ops[2]
+    # rows 10-12: tile id + tile origin per slot (f32 exact, < 2^24) — the
+    # mixed-layout kernel reads per-column tile identity/origin from the
+    # fields block itself (a chunk spans several tiles)
+    s_tilef = s_tile.astype(jnp.float32)
+    tyi = jnp.floor(s_tilef / cfg.tiles_x)
+    tx0 = (s_tilef - tyi * cfg.tiles_x) * cfg.tile_w
+    ty0 = tyi * cfg.tile_h
     fields = jnp.stack(
-        list(sorted_ops[3:12]) + [s_depth]
-        + [jnp.zeros_like(s_depth)] * (NFIELD - 10), axis=0)
+        list(sorted_ops[3:12]) + [s_depth, s_tilef, tx0, ty0]
+        + [jnp.zeros_like(s_depth)] * (NFIELD - 13), axis=0)
 
     tq = jnp.arange(num_tiles, dtype=jnp.int32)
     from deblurgs_tpu.ops.binning import searchsorted_right
     tile_start = searchsorted_right(s_tile, tq - 1)
     tile_stop = searchsorted_right(s_tile, tq)
     max_per_tile = jnp.max(tile_stop - tile_start)
+    return (fields, s_tile, s_gc, ids, n_emit, tile_start, tile_stop,
+            total, max_per_tile)
 
+
+def prepare_fused(cfg, means2d, conic, opacity, color, depth, rect, area,
+                  max_pairs: int):
+    """Expansion → segmented broadcast → through-sort field staging.
+
+    Replaces [gather rect rows] + [sort ids] + [gather field rows] with ONE
+    compact-table build (P rows), a sequential-DMA broadcast kernel, and a
+    sort that carries the field rows as operands — TPU gathers/scatters
+    cost per row (~15 ns), so at 1080p bench scale this removes ~600k
+    gathered rows from the hot path. Returns (Prepared, num_pairs,
+    max_per_tile). With ``cfg.layout == "mixed"`` the step maps come from
+    :mod:`pallas_blend_mixed` (single-pass mixed-tile chunk grid)."""
+    (fields, s_tile, s_gc, ids, n_emit, tile_start, tile_stop,
+     total, max_per_tile) = _sort_stage(
+        cfg, means2d, conic, opacity, color, depth, rect, area, max_pairs)
+
+    if getattr(cfg, "layout", "lockstep") == "mixed":
+        from deblurgs_tpu.ops import pallas_blend_mixed as mixed
+
+        prep = mixed.prepare_mixed(cfg, fields, s_tile, s_gc, ids, n_emit,
+                                   tile_start, tile_stop, total, max_pairs)
+        return prep, total, max_per_tile
+
+    num_tiles = cfg.num_tiles
     (tile_start, tile_stop, step_tile, step_chunk, step_start,
      chunk_first, num_steps) = _step_maps(num_tiles, tile_start, tile_stop,
                                           max_pairs, cfg.window)
@@ -650,8 +678,12 @@ def _backward_kernel(cfg, window, sw_ref, sc_ref, ss_ref, cf_ref, start_ref,
                 within, jnp.zeros((NFIELD, CHUNK), jnp.float32), prev)
 
 
-def forward(cfg, prep: Prepared):
+def forward(cfg, prep):
     """Pallas forward. Returns tiled (C [T,PX,3], D [T,PX], T, n_con)."""
+    if not isinstance(prep, Prepared):
+        from deblurgs_tpu.ops import pallas_blend_mixed as mixed
+
+        return mixed.forward_mixed(cfg, prep)
     nt, px_n = cfg.num_tiles, cfg.tile_px
     window = cfg.window
     nt_pad = prep.tile_start.shape[0]
@@ -705,12 +737,35 @@ def forward(cfg, prep: Prepared):
     return C, D, t_fin[:nt, :, 0], ncon
 
 
-def backward(cfg, prep: Prepared, num_gaussians, bg,
+def reduce_pair_grads(prep, pair_grads, num_gaussians):
+    """Segment-sum pair grads by Gaussian id (deterministic, atomics-free)
+    and, on the fused path, scatter the compact sums back to original rows.
+    ``pair_grads``: [NFIELD, max_pairs]. Returns [P, NFIELD] sums."""
+    P = num_gaussians
+    seg = jnp.minimum(prep.pair_gauss, P)
+    sums = jax.ops.segment_sum(pair_grads.T, seg, num_segments=P + 1)[:P]
+    if prep.ids is not None:
+        # fused path: pair_gauss holds COMPACT ranks — scatter the compact
+        # sums back to original rows (ids is unique on the first n_emit
+        # rows; the padding tail repeats the last id and its sums are zero)
+        ids_u = jnp.where(jnp.arange(P) < prep.n_emit, prep.ids, P)
+        sums = jnp.zeros_like(sums).at[ids_u].set(
+            sums, mode="drop", unique_indices=True)
+    return sums
+
+
+def backward(cfg, prep, num_gaussians, bg,
              final_T_t, dL_dpix_t, dL_dpixd_t, C_t, D_t):
     """Pallas backward from the shared ``Prepared`` residuals.
 
     ``C_t``/``D_t``: the forward's pre-background color/depth sums — used
     for the total−prefix suffix trick."""
+    if not isinstance(prep, Prepared):
+        from deblurgs_tpu.ops import pallas_blend_mixed as mixed
+
+        return mixed.backward_mixed(cfg, prep, num_gaussians, bg,
+                                    final_T_t, dL_dpix_t, dL_dpixd_t,
+                                    C_t, D_t)
     nt, px_n = cfg.num_tiles, cfg.tile_px
     window = cfg.window
     nt_pad = prep.tile_start.shape[0]
@@ -776,19 +831,9 @@ def backward(cfg, prep: Prepared, num_gaussians, bg,
             pair_grads = pair_grads + jnp.where(owner == q,
                                                 grads_list[q], 0.0)
 
-    # segment-sum pair grads by Gaussian id (deterministic, atomics-free).
-    # Chunks past the last tile's stop are never visited (garbage) and all
-    # carry the sentinel id P — dropped by the slice.
-    P = num_gaussians
-    seg = jnp.minimum(prep.pair_gauss, P)
-    sums = jax.ops.segment_sum(pair_grads.T, seg, num_segments=P + 1)[:P]
-    if prep.ids is not None:
-        # fused path: pair_gauss holds COMPACT ranks — scatter the compact
-        # sums back to original rows (ids is unique on the first n_emit
-        # rows; the padding tail repeats the last id and its sums are zero)
-        ids_u = jnp.where(jnp.arange(P) < prep.n_emit, prep.ids, P)
-        sums = jnp.zeros_like(sums).at[ids_u].set(
-            sums, mode="drop", unique_indices=True)
+    # chunks past the last tile's stop are never visited (garbage) and all
+    # carry the sentinel id P — dropped inside reduce_pair_grads
+    sums = reduce_pair_grads(prep, pair_grads, num_gaussians)
     dm = sums[:, 0:2]
     dc = sums[:, 2:5]
     do = sums[:, 5]

@@ -1,0 +1,637 @@
+"""Single-pass mixed-tile chunk kernels (the ``layout="mixed"`` blend path).
+
+The lockstep kernels in :mod:`pallas_blend` enumerate (tile × chunk) steps:
+a 128-pair chunk straddling a tile boundary is visited once per tile, and a
+window's sub-tiles advance in lockstep — so fine (16×16) tiles, whose pair
+lists are shorter than a chunk, pay a boundary revisit for almost every
+chunk plus lockstep-imbalance waste. This module removes both: the grid is
+over **chunks**, each visited once (plus rare window-advance revisits), and
+a chunk's pairs may belong to several tiles:
+
+- **Segmented prefix products.** The per-tile transmittance recurrence
+  becomes ``exp`` of a *segmented* prefix sum of ``log(1-alpha)``: one MXU
+  matmul against a data-dependent mask ``M2[k,j] = (seg_k == seg_j)·(k<j)``
+  built from the sorted tile-id row (segments are lane-contiguous). The
+  running product of the tile straddling a chunk boundary is carried in
+  VMEM scratch and applied to the chunk's *first* segment only.
+- **One-hot MXU output routing.** Each step binds two output blocks of
+  ``W = cfg.window`` tiles each (parity-interleaved buffers: even blocks
+  live in one buffer, odd in the other, so any 2W-tile window of the sorted
+  tile axis is addressable with aligned BlockSpecs). Per-tile color/depth
+  sums and final-T candidates route through one-hot [W, CHUNK] masks as
+  small MXU contractions — pair-pixel volume never multiplies by W.
+- **Frozen-T extraction without per-tile passes.** ``final_T`` (the last
+  composited product, reference ``forward.cu:373``) = the running product
+  at each pixel's *last live* lane of the segment; a lane-shift + select
+  marks that lane, and a one-hot matmul routes it; cross-chunk candidates
+  min-accumulate (products are non-increasing, so the minimum positive
+  candidate is the frozen value).
+
+Reference semantics preserved exactly (same eligibility gates, 0.99 alpha
+clamp, T<1e-4 freeze; ``forward.cu:273-392``, ``backward.cu:463-640``).
+Staging (expansion → segmented broadcast → through-sort fields) is shared
+with the lockstep path (``pallas_blend._sort_stage``); the sorted tile id
+and tile origin ride the fields rows 10-12 so the kernel reads per-column
+tile identity without gathers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from deblurgs_tpu.ops import pallas_blend as base
+
+CHUNK = base.CHUNK
+NFIELD = base.NFIELD
+_ALPHA_MIN = base._ALPHA_MIN
+_T_EPS = base._T_EPS
+
+# smap rows (per grid step)
+_CHUNK_R = 0      # source chunk index
+_SE_R = 1         # even-buffer block row
+_SO_R = 2         # odd-buffer block row
+_BSTART_R = 3     # first covered W-block (window base = b_start * W)
+_FVE_R = 4        # 1 = first step binding this even block
+_FVO_R = 5        # 1 = first step binding this odd block
+_CF_R = 6         # 1 = first visit of this chunk
+_ALIVE_R = 7      # 1 = real step (static-grid tail gating)
+_CT_R = 8         # carry tile: tile id of the previous chunk's last slot
+
+
+class PreparedMixed(NamedTuple):
+    """Mixed-layout staging (shared fwd/bwd VJP residuals)."""
+
+    fields: jax.Array      # [16, max_pairs] rows 10-12 = tile, tx0, ty0
+    pair_gauss: jax.Array  # [max_pairs] compact ranks (fused path)
+    smap: jax.Array        # [9, NS] int32 per-step maps (see _*_R above)
+    start_pad: jax.Array   # [2*nbuf*W] int32 tile_start padded (n_contrib)
+    tile_start: jax.Array  # [num_tiles]
+    tile_stop: jax.Array   # [num_tiles]
+    num_steps: jax.Array   # [] int32 real step count (dynamic grid)
+    ids: jax.Array | None = None
+    n_emit: jax.Array | None = None
+
+
+def _nbuf(cfg) -> int:
+    nblk = -(-cfg.num_tiles // cfg.window)
+    return nblk // 2 + 1
+
+
+def _ns_static(cfg, max_pairs: int) -> int:
+    """Step bound: one visit per chunk + window advances. Each extra visit
+    moves the covered-block pointer by 2 and block pointers only move
+    forward, so extra visits ≤ nblk/2 overall."""
+    nblk = -(-cfg.num_tiles // cfg.window)
+    return max_pairs // CHUNK + nblk // 2 + 2
+
+
+def prepare_mixed(cfg, fields, s_tile, s_gc, ids, n_emit,
+                  tile_start, tile_stop, total, max_pairs: int):
+    """Step maps for the mixed-chunk grid from the sorted tile ids."""
+    W = cfg.window
+    nt = cfg.num_tiles
+    nc = max_pairs // CHUNK
+    nbuf = _nbuf(cfg)
+    ns = _ns_static(cfg, max_pairs)
+
+    slots = jnp.arange(nc, dtype=jnp.int32) * CHUNK
+    has = slots < total
+    t_lo = jnp.minimum(s_tile[slots], nt - 1)
+    last = jnp.clip(slots + CHUNK - 1, 0, jnp.maximum(total - 1, 0))
+    t_hi = jnp.minimum(s_tile[last], nt - 1)
+    b_lo = t_lo // W
+    b_hi = jnp.maximum(t_hi // W, b_lo)
+    # visits per chunk: ceil(covered blocks / 2) — each visit binds two
+    # consecutive W-blocks (one even, one odd)
+    visits = jnp.where(has, (b_hi - b_lo) // 2 + 1, 0)
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(visits)[:-1].astype(jnp.int32)])
+    num_steps = (starts[-1] + visits[-1]).astype(jnp.int32)
+
+    marks = jnp.full((ns,), -1, jnp.int32).at[
+        jnp.where(visits > 0, starts, ns)].set(
+        jnp.arange(nc, dtype=jnp.int32), mode="drop", unique_indices=True)
+    step_chunk = jnp.clip(jax.lax.cummax(marks), 0, nc - 1)
+    steps = jnp.arange(ns, dtype=jnp.int32)
+    alive = (steps < num_steps).astype(jnp.int32)
+    v = steps - starts[step_chunk]
+    b_start = jnp.clip(b_lo[step_chunk] + 2 * v, 0, 2 * nbuf - 2)
+    even_lower = (b_start % 2) == 0
+    b_even = jnp.where(even_lower, b_start, b_start + 1)
+    b_odd = jnp.where(even_lower, b_start + 1, b_start)
+    se = b_even >> 1
+    so = b_odd >> 1
+    fv_e = jnp.concatenate(
+        [jnp.ones(1, jnp.int32), (se[1:] != se[:-1]).astype(jnp.int32)])
+    fv_o = jnp.concatenate(
+        [jnp.ones(1, jnp.int32), (so[1:] != so[:-1]).astype(jnp.int32)])
+    chunk_first = jnp.concatenate(
+        [jnp.ones(1, jnp.int32),
+         (step_chunk[1:] != step_chunk[:-1]).astype(jnp.int32)])
+    ct = jnp.concatenate(
+        [jnp.full(1, -1, jnp.int32), s_tile[slots[1:] - 1]])
+    sct = ct[step_chunk]
+    smap = jnp.stack([step_chunk, se, so, b_start, fv_e, fv_o,
+                      chunk_first, alive, sct])            # [9, NS]
+
+    start_pad = jnp.pad(tile_start.astype(jnp.int32),
+                        (0, 2 * nbuf * W - nt), constant_values=0)
+    return PreparedMixed(
+        fields=fields, pair_gauss=s_gc, smap=smap, start_pad=start_pad,
+        tile_start=tile_start, tile_stop=tile_stop, num_steps=num_steps,
+        ids=ids, n_emit=n_emit)
+
+
+def _grid_size(prep: PreparedMixed):
+    ns = prep.smap.shape[1]
+    if base._DYN_GRID:
+        return jnp.minimum(prep.num_steps, ns)
+    return ns
+
+
+def _shift_left(x):
+    """x[:, j] <- x[:, j+1] (0-fill at the last lane)."""
+    return jnp.concatenate(
+        [x[:, 1:], jnp.zeros((x.shape[0], 1), x.dtype)], axis=1)
+
+
+def _shift_right(x, fill):
+    """x[:, j] <- x[:, j-1] (fill at lane 0)."""
+    return jnp.concatenate(
+        [jnp.full((x.shape[0], 1), fill, x.dtype), x[:, :-1]], axis=1)
+
+
+def _eye(n, dtype=jnp.float32):
+    ri = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (ri == ci).astype(dtype)
+
+
+def _seg_structure(trow):
+    """Per-chunk segment structure from the sorted tile-id row [1, CHUNK].
+
+    Returns (segrow [1, CHUNK] small-int f32 segment ids, seg_end [1, CHUNK]
+    bool, M2ex / M2in [CHUNK, CHUNK] f32 segmented strict/inclusive
+    lower-prefix masks). Segment ids are ≤ CHUNK so every matmul stays
+    bf16-exact."""
+    boundary = (trow != _shift_right(trow, -1.0)).astype(jnp.float32)
+    # inclusive row prefix of boundary -> segment index (1..CHUNK)
+    segrow = jax.lax.dot_general(
+        boundary.astype(jnp.bfloat16),
+        base._utri(False).astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [1, CHUNK]
+    seg_end = segrow != _shift_left(segrow)
+    # segment ids as a column (bf16-exact values ≤ 128)
+    segcol = jax.lax.dot_general(
+        _eye(CHUNK, jnp.bfloat16), segrow.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [CHUNK, 1]
+    same = segcol == segrow                               # [CHUNK, CHUNK]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    m2ex = (same & (ri < ci)).astype(jnp.float32)
+    m2in = (same & (ri <= ci)).astype(jnp.float32)
+    return segrow, seg_end, m2ex, m2in
+
+
+def _prefix_masked(x, m2):
+    """Segmented lane-prefix sum: x @ m2 (double-bfloat16 split, f32
+    accumulation — m2 entries are 0/1 so the mask is bf16-exact)."""
+    if base._PREFIX_IMPL == "f32":
+        return jnp.dot(x, m2, preferred_element_type=jnp.float32)
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    m2b = m2.astype(jnp.bfloat16)
+    dot = functools.partial(
+        jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return dot(hi, m2b) + dot(lo, m2b)
+
+
+def _onehot(trow, b_start, W):
+    """One-hot routing masks for the two bound W-blocks.
+
+    Returns (oh_lo, oh_hi) each [W, CHUNK]: oh_lo[w, j] = 1 iff column j's
+    tile is b_start*W + w; oh_hi covers the following block."""
+    rel = trow - jnp.float32(b_start * W)                  # [1, CHUNK]
+    ri = jax.lax.broadcasted_iota(
+        jnp.int32, (W, CHUNK), 0).astype(jnp.float32)
+    oh_lo = (rel == ri).astype(jnp.float32)
+    oh_hi = (rel == ri + W).astype(jnp.float32)
+    return oh_lo, oh_hi
+
+
+def _mixed_core(cfg, data, carry_f, U):
+    """Shared per-chunk math: eligibility, segmented products, weights.
+
+    ``data``: [16, CHUNK] fields block; ``carry_f``: f32 scalar tile id of
+    the straddling segment; ``U``: [PX, 1] carried running product."""
+    pf = base._pixel_features(cfg)
+    trow = data[10:11, :]
+    xl = data[0:1, :] - data[11:12, :]
+    yl = data[1:2, :] - data[12:13, :]
+    ca = data[2:3, :]
+    cb = data[3:4, :]
+    cc = data[4:5, :]
+    opac = data[5:6, :]
+    b0 = -0.5 * (ca * xl * xl + cc * yl * yl) - cb * xl * yl
+    b1 = ca * xl + cb * yl
+    b2 = cc * yl + cb * xl
+    zero = jnp.zeros_like(b0)
+    b8 = jnp.concatenate(
+        [b0, b1, b2, -0.5 * ca, -0.5 * cc, -cb, zero, zero], 0)
+    power = jax.lax.dot_general(
+        pf, b8, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [PX, CHUNK]
+    G = jnp.exp(power)
+    alpha = jnp.minimum(0.99, opac * G)
+    elig = (power <= 0.0) & (alpha >= _ALPHA_MIN)
+    alpha_eff = jnp.where(elig, alpha, 0.0)
+    mult = 1.0 - alpha_eff
+    logm = jnp.log(mult)
+    segrow, seg_end, m2ex, m2in = _seg_structure(trow)
+    csum_ex = _prefix_masked(logm, m2ex)
+    fs = trow == carry_f                                   # first segment
+    U_eff = jnp.where(fs, U, 1.0)                          # [PX, CHUNK]
+    P_prev = U_eff * jnp.exp(csum_ex)
+    P_run = P_prev * mult
+    live = P_run >= _T_EPS
+    w = jnp.where(live, alpha_eff, 0.0) * P_prev
+    comp = live & elig
+    return dict(trow=trow, xl=xl, yl=yl, ca=ca, cb=cb, cc=cc, opac=opac,
+                G=G, mult=mult, P_prev=P_prev, P_run=P_run, w=w, comp=comp,
+                live=live, fs=fs, seg_end=seg_end, m2in=m2in, pf=pf)
+
+
+def _route_cd(data, oh, wgt, W):
+    """Per-tile weighted color/depth sums: [4W, PX] via one one-hot MXU
+    contraction (rows are (tile-offset, channel)-major)."""
+    c_exp = jnp.concatenate(
+        [oh[w:w + 1, :] * data[6 + ch:7 + ch, :]
+         for w in range(W) for ch in range(4)], axis=0)    # [4W, CHUNK]
+    return jax.lax.dot_general(
+        c_exp, wgt, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [4W, PX]
+
+
+def _emit(cfg, cd_b, t_b, nc_b, oh, blk, data, cr, PL, st_ref, pos1,
+          compf):
+    """Accumulate one W-block's outputs from this chunk. ``blk`` is the
+    bound W-block index (traced scalar)."""
+    W = cfg.window
+    cd_b[0] += _route_cd(data, oh, cr["w"], W)
+    tc = jax.lax.dot_general(
+        PL, oh, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [PX, W]
+    t_b[0] = jnp.minimum(t_b[0], jnp.where(tc > 0.0, tc, 2.0))
+    if nc_b is not None:
+        cand = []
+        for w in range(W):
+            idx1 = pos1 - jnp.float32(st_ref[blk * W + w])
+            m = compf * oh[w:w + 1, :]
+            cand.append(jnp.max(jnp.where(m > 0, idx1, 0.0), axis=1,
+                                keepdims=True))            # [PX, 1]
+        nc_b[0] = jnp.maximum(nc_b[0], jnp.concatenate(cand, axis=1))
+
+
+def _forward_kernel(cfg, sm_ref, st_ref, f_ref, *refs):
+    W = cfg.window
+    px_n = cfg.tile_px
+    if cfg.need_n_contrib:
+        cd_e, t_e, nc_e, cd_o, t_o, nc_o, u_ent, u_pend = refs
+    else:
+        cd_e, t_e, cd_o, t_o, u_ent, u_pend = refs
+        nc_e = nc_o = None
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        u_pend[...] = jnp.ones((px_n, 1), jnp.float32)
+
+    for cd_b, t_b, nc_b, fv_row in (
+            (cd_e, t_e, nc_e, _FVE_R), (cd_o, t_o, nc_o, _FVO_R)):
+
+        @pl.when(sm_ref[fv_row, c] == 1)
+        def _(cd_b=cd_b, t_b=t_b, nc_b=nc_b):
+            cd_b[...] = jnp.zeros((1, 4 * W, px_n), jnp.float32)
+            t_b[...] = jnp.ones((1, px_n, W), jnp.float32)
+            if nc_b is not None:
+                nc_b[...] = jnp.zeros((1, px_n, W), jnp.float32)
+
+    @pl.when(sm_ref[_ALIVE_R, c] == 1)
+    def _():
+        @pl.when(sm_ref[_CF_R, c] == 1)
+        def _():
+            u_ent[...] = u_pend[...]
+
+        data = f_ref[...]
+        carry_f = jnp.float32(sm_ref[_CT_R, c])
+        cr = _mixed_core(cfg, data, carry_f, u_ent[...])
+        u_pend[...] = cr["P_run"][:, CHUNK - 1:]
+
+        # frozen-T candidates: running product at each pixel's last live
+        # lane of its segment (monotone products -> min across chunks)
+        livef = cr["live"].astype(jnp.float32)
+        live_next = _shift_left(livef)
+        lastlive = livef * jnp.maximum(
+            1.0 - live_next, cr["seg_end"].astype(jnp.float32))
+        PL = cr["P_run"] * lastlive                        # [PX, CHUNK]
+
+        b_start = sm_ref[_BSTART_R, c]
+        oh_lo, oh_hi = _onehot(cr["trow"], b_start, W)
+        even_lower = (b_start % 2) == 0
+        pos1 = compf = None
+        if cfg.need_n_contrib:
+            pos1 = (jnp.float32(sm_ref[_CHUNK_R, c] * CHUNK) + 1.0
+                    + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, CHUNK), 1).astype(jnp.float32))
+            compf = cr["comp"].astype(jnp.float32)
+
+        # the even buffer holds the LOWER block iff b_start is even
+        @pl.when(even_lower)
+        def _():
+            _emit(cfg, cd_e, t_e, nc_e, oh_lo, b_start, data, cr, PL,
+                  st_ref, pos1, compf)
+            _emit(cfg, cd_o, t_o, nc_o, oh_hi, b_start + 1, data, cr, PL,
+                  st_ref, pos1, compf)
+
+        @pl.when(jnp.logical_not(even_lower))
+        def _():
+            _emit(cfg, cd_o, t_o, nc_o, oh_lo, b_start, data, cr, PL,
+                  st_ref, pos1, compf)
+            _emit(cfg, cd_e, t_e, nc_e, oh_hi, b_start + 1, data, cr, PL,
+                  st_ref, pos1, compf)
+
+
+def forward_mixed(cfg, prep: PreparedMixed):
+    """Mixed-layout Pallas forward: (C [T,PX,3], D, T, n_con) tiled."""
+    nt, px_n, W = cfg.num_tiles, cfg.tile_px, cfg.window
+    nbuf = _nbuf(cfg)
+    blk_cd = pl.BlockSpec((1, 4 * W, px_n),
+                          lambda c, sm, st: (sm[_SE_R, c], 0, 0),
+                          memory_space=pltpu.VMEM)
+    blk_cd_o = pl.BlockSpec((1, 4 * W, px_n),
+                            lambda c, sm, st: (sm[_SO_R, c], 0, 0),
+                            memory_space=pltpu.VMEM)
+    blk_t = pl.BlockSpec((1, px_n, W),
+                         lambda c, sm, st: (sm[_SE_R, c], 0, 0),
+                         memory_space=pltpu.VMEM)
+    blk_t_o = pl.BlockSpec((1, px_n, W),
+                           lambda c, sm, st: (sm[_SO_R, c], 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_specs = [blk_cd, blk_t]
+    out_shape = [
+        jax.ShapeDtypeStruct((nbuf, 4 * W, px_n), jnp.float32),
+        jax.ShapeDtypeStruct((nbuf, px_n, W), jnp.float32),
+    ]
+    if cfg.need_n_contrib:
+        out_specs.append(blk_t)
+        out_shape.append(jax.ShapeDtypeStruct((nbuf, px_n, W), jnp.float32))
+    out_specs += [blk_cd_o, blk_t_o]
+    out_shape += [
+        jax.ShapeDtypeStruct((nbuf, 4 * W, px_n), jnp.float32),
+        jax.ShapeDtypeStruct((nbuf, px_n, W), jnp.float32),
+    ]
+    if cfg.need_n_contrib:
+        out_specs.append(blk_t_o)
+        out_shape.append(jax.ShapeDtypeStruct((nbuf, px_n, W), jnp.float32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(_grid_size(prep),),
+        in_specs=[
+            pl.BlockSpec((NFIELD, CHUNK),
+                         lambda c, sm, st: (0, sm[_CHUNK_R, c]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((px_n, 1), jnp.float32),
+            pltpu.VMEM((px_n, 1), jnp.float32),
+        ],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_forward_kernel, cfg),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=cfg.interpret,
+    )(prep.smap, prep.start_pad, prep.fields)
+
+    if cfg.need_n_contrib:
+        cd_e, t_e, nc_e, cd_o, t_o, nc_o = outs
+    else:
+        cd_e, t_e, cd_o, t_o = outs
+        nc_e = nc_o = None
+
+    def interleave(a, b):
+        return jnp.stack([a, b], axis=1).reshape((2 * nbuf,) + a.shape[1:])
+
+    cd = interleave(cd_e, cd_o).reshape(2 * nbuf, W, 4, px_n)
+    cd = cd.reshape(2 * nbuf * W, 4, px_n)[:nt]            # [nt, 4, PX]
+    t_fin = jnp.swapaxes(interleave(t_e, t_o), 1, 2).reshape(
+        2 * nbuf * W, px_n)[:nt]
+    cnt = (prep.tile_stop - prep.tile_start) > 0           # [nt]
+    cd = jnp.where(cnt[:, None, None], cd, 0.0)
+    t_fin = jnp.where(cnt[:, None], t_fin, 1.0)
+    C = jnp.moveaxis(cd[:, :3, :], 1, 2)
+    D = cd[:, 3, :]
+    if nc_e is not None:
+        ncon = jnp.swapaxes(interleave(nc_e, nc_o), 1, 2).reshape(
+            2 * nbuf * W, px_n)[:nt]
+        ncon = jnp.where(cnt[:, None], ncon, 0.0).astype(jnp.int32)
+    else:
+        ncon = jnp.zeros((nt, px_n), jnp.int32)
+    return C, D, t_fin, ncon
+
+
+def _backward_kernel(cfg, sm_ref, st_ref, f_ref, dl_e, dl_o, bgd_e, bgd_o,
+                     grads_out, u_ent, u_pend, w_ent, w_pend):
+    W = cfg.window
+    px_n = cfg.tile_px
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        u_pend[...] = jnp.ones((px_n, 1), jnp.float32)
+        w_pend[...] = jnp.zeros((px_n, 1), jnp.float32)
+
+    chunk_first = sm_ref[_CF_R, c] == 1
+    prev = jnp.where(chunk_first,
+                     jnp.zeros((NFIELD, CHUNK), jnp.float32),
+                     grads_out[...])
+
+    @pl.when(sm_ref[_ALIVE_R, c] == 1)
+    def _():
+        @pl.when(chunk_first)
+        def _():
+            u_ent[...] = u_pend[...]
+            w_ent[...] = w_pend[...]
+
+        data = f_ref[...]
+        carry_f = jnp.float32(sm_ref[_CT_R, c])
+        cr = _mixed_core(cfg, data, carry_f, u_ent[...])
+        u_pend[...] = cr["P_run"][:, CHUNK - 1:]
+
+        b_start = sm_ref[_BSTART_R, c]
+        oh_lo, oh_hi = _onehot(cr["trow"], b_start, W)
+        even_lower = (b_start % 2) == 0
+        # the even buffer holds the lower block iff b_start is even; build
+        # both (lower, upper) routed quantities from the matching buffers
+        dl_eb = dl_e[0]                                    # [4W, PX]
+        dl_ob = dl_o[0]
+        bgd_eb = bgd_e[0]                                  # [PX, W]
+        bgd_ob = bgd_o[0]
+        sel = even_lower
+        dl_lo = jnp.where(sel, dl_eb, dl_ob)
+        dl_hi = jnp.where(sel, dl_ob, dl_eb)
+        bgd_lo = jnp.where(sel, bgd_eb, bgd_ob)
+        bgd_hi = jnp.where(sel, bgd_ob, bgd_eb)
+
+        def cexp(oh):
+            return jnp.concatenate(
+                [oh[w:w + 1, :] * data[6 + ch:7 + ch, :]
+                 for w in range(W) for ch in range(4)], axis=0)
+
+        ce_lo, ce_hi = cexp(oh_lo), cexp(oh_hi)
+        dot_pc = functools.partial(
+            jax.lax.dot_general, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dl_dot_c = dot_pc(dl_lo, ce_lo) + dot_pc(dl_hi, ce_hi)  # [PX, CHUNK]
+        dot_bg = functools.partial(
+            jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        bg_cols = dot_bg(bgd_lo, oh_lo) + dot_bg(bgd_hi, oh_hi)
+
+        wgt = cr["w"]
+        wc = wgt * dl_dot_c
+        dlW = _prefix_masked(wc, cr["m2in"]) + jnp.where(
+            cr["fs"], w_ent[...], 0.0)
+        w_pend[...] = dlW[:, CHUNK - 1:]
+        S = bg_cols - dlW
+        dL_dalpha = jnp.where(
+            cr["comp"], dl_dot_c * cr["P_prev"] - S / cr["mult"], 0.0)
+
+        N = cr["G"] * dL_dalpha
+        mom = jax.lax.dot_general(
+            cr["pf"], N, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [8, CHUNK]
+        xl, yl = cr["xl"], cr["yl"]
+        ca, cb, ccc, opac = cr["ca"], cr["cb"], cr["cc"], cr["opac"]
+        M0 = opac * mom[0:1, :]
+        M1 = opac * mom[1:2, :]
+        M2_ = opac * mom[2:3, :]
+        M3 = opac * mom[3:4, :]
+        M4 = opac * mom[4:5, :]
+        M5 = opac * mom[5:6, :]
+        Sx = xl * M0 - M1
+        Sy = yl * M0 - M2_
+        dmx = -ca * Sx - cb * Sy
+        dmy = -ccc * Sy - cb * Sx
+        dca = -0.5 * (xl * xl * M0 - 2.0 * xl * M1 + M3)
+        dcb = -(xl * yl * M0 - xl * M2_ - yl * M1 + M5)
+        dcc = -0.5 * (yl * yl * M0 - 2.0 * yl * M2_ + M4)
+        dop = mom[0:1, :]
+
+        # per-pair color/depth grads: route dl to columns per channel
+        dot_pw = functools.partial(
+            jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        mm_lo = dot_pw(dl_lo, wgt)                         # [4W, CHUNK]
+        mm_hi = dot_pw(dl_hi, wgt)
+        dcold = jnp.zeros((4, CHUNK), jnp.float32)
+        for w in range(W):
+            dcold = dcold + oh_lo[w:w + 1, :] * mm_lo[4 * w:4 * w + 4, :]
+            dcold = dcold + oh_hi[w:w + 1, :] * mm_hi[4 * w:4 * w + 4, :]
+
+        gout = jnp.concatenate(
+            [dmx, dmy, dca, dcb, dcc, dop, dcold,
+             jnp.zeros((NFIELD - 10, CHUNK), jnp.float32)], axis=0)
+        base_t = jnp.float32(b_start * W)
+        in_win = (cr["trow"] >= base_t) & (cr["trow"] < base_t + 2 * W)
+        grads_out[...] = jnp.where(in_win, gout, prev)
+
+    @pl.when(jnp.logical_and(sm_ref[_ALIVE_R, c] != 1, chunk_first))
+    def _():
+        # a dead step can never be a chunk's first visit in the live
+        # region; this only fires for the clamped tail, where writing the
+        # zeroed prev keeps the block deterministic
+        grads_out[...] = prev
+
+
+def backward_mixed(cfg, prep: PreparedMixed, num_gaussians, bg,
+                   final_T_t, dL_dpix_t, dL_dpixd_t, C_t, D_t):
+    """Mixed-layout Pallas backward (same cotangent surface as
+    ``pallas_blend.backward``)."""
+    nt, px_n, W = cfg.num_tiles, cfg.tile_px, cfg.window
+    nbuf = _nbuf(cfg)
+    dl = jnp.concatenate(
+        [jnp.moveaxis(dL_dpix_t, 2, 1), dL_dpixd_t[:, None, :]], axis=1
+    )                                                      # [T, 4, PX]
+    sigma_dot = jnp.sum(C_t * dL_dpix_t, axis=-1) + D_t * dL_dpixd_t
+    bg_dot = (dL_dpix_t @ bg) + cfg.z_far * dL_dpixd_t
+    bgdot_full = sigma_dot + final_T_t * bg_dot            # [T, PX]
+    ntp = 2 * nbuf * W
+    dl = jnp.pad(dl, ((0, ntp - nt), (0, 0), (0, 0)))
+    bgdot_full = jnp.pad(bgdot_full, ((0, ntp - nt), (0, 0)))
+    # [nblk, W, 4, PX] -> [nblk, 4W, PX] -> parity-strided buffers
+    dl_blk = dl.reshape(2 * nbuf, W * 4, px_n)
+    dl_e, dl_o = dl_blk[0::2], dl_blk[1::2]                # [nbuf, 4W, PX]
+    bgd_blk = jnp.swapaxes(
+        bgdot_full.reshape(2 * nbuf, W, px_n), 1, 2)       # [nblk, PX, W]
+    bgd_e, bgd_o = bgd_blk[0::2], bgd_blk[1::2]
+
+    max_pairs = prep.fields.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(_grid_size(prep),),
+        in_specs=[
+            pl.BlockSpec((NFIELD, CHUNK),
+                         lambda c, sm, st: (0, sm[_CHUNK_R, c]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * W, px_n),
+                         lambda c, sm, st: (sm[_SE_R, c], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * W, px_n),
+                         lambda c, sm, st: (sm[_SO_R, c], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, px_n, W),
+                         lambda c, sm, st: (sm[_SE_R, c], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, px_n, W),
+                         lambda c, sm, st: (sm[_SO_R, c], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((NFIELD, CHUNK),
+                         lambda c, sm, st: (0, sm[_CHUNK_R, c]),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((px_n, 1), jnp.float32),
+            pltpu.VMEM((px_n, 1), jnp.float32),
+            pltpu.VMEM((px_n, 1), jnp.float32),
+            pltpu.VMEM((px_n, 1), jnp.float32),
+        ],
+    )
+    (pair_grads,) = pl.pallas_call(
+        functools.partial(_backward_kernel, cfg),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((NFIELD, max_pairs), jnp.float32)],
+        interpret=cfg.interpret,
+    )(prep.smap, prep.start_pad, prep.fields, dl_e, dl_o, bgd_e, bgd_o)
+
+    sums = base.reduce_pair_grads(prep, pair_grads, num_gaussians)
+    dm = sums[:, 0:2]
+    dc = sums[:, 2:5]
+    do = sums[:, 5]
+    dcol = sums[:, 6:9]
+    dd = sums[:, 9]
+    dbg = jnp.einsum("tp,tpc->c", final_T_t, dL_dpix_t)
+    return dm, dc, do, dcol, dd, dbg

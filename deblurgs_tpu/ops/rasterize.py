@@ -48,12 +48,19 @@ class RasterizeConfig:
                                 # pallas_blend — e.g. 16×16 tiles with
                                 # window=4 halve the pair-pixel volume of
                                 # 32×32 tiles at the same per-step shape)
+    layout: str = "lockstep"    # pallas grid layout: "lockstep" | "mixed"
+                                # (single-pass mixed-tile chunks; window =
+                                # tiles per output block — pallas_blend_mixed)
 
     def __post_init__(self):
         if self.backend not in ("xla", "pallas", "oracle"):
             raise ValueError(
                 f"unknown rasterizer backend {self.backend!r} "
                 "(expected 'pallas', 'xla' or 'oracle')")
+        if self.layout not in ("lockstep", "mixed"):
+            raise ValueError(
+                f"unknown pallas layout {self.layout!r} "
+                "(expected 'lockstep' or 'mixed')")
 
     def blend_config(self, cs: CameraStatic) -> tile_blend.BlendConfig:
         return tile_blend.BlendConfig(
@@ -62,6 +69,7 @@ class RasterizeConfig:
             k_max=self.k_max, max_pairs=self.max_pairs, z_far=self.z_far,
             backend=self.backend, interpret=self.interpret,
             need_n_contrib=self.need_n_contrib, window=self.window,
+            layout=self.layout,
         )
 
 

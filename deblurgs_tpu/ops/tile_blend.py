@@ -58,6 +58,10 @@ class BlendConfig:
     window: int = 1            # pallas: consecutive tiles sharing each grid
                                # step (fine tiles cut pair-pixel volume; the
                                # window amortizes the per-step overhead)
+    layout: str = "lockstep"   # pallas grid layout: "lockstep" (tile ×
+                               # chunk-overlap steps) | "mixed" (single-pass
+                               # mixed-tile chunks, window = output-block
+                               # tiles; see pallas_blend_mixed)
 
     @property
     def tiles_x(self) -> int:

@@ -114,3 +114,32 @@ class TestPallasParityWindowPad(TestPallasParity):
 
     PL_CFG = RasterizeConfig(backend="pallas", max_pairs=1 << 14,
                              interpret=True, window=4)
+
+
+class TestMixedLayout(TestPallasParity):
+    """Single-pass mixed-tile chunk grid (layout="mixed"): each 128-pair
+    chunk is visited once with segmented prefix products and one-hot output
+    routing over W-tile blocks. 8x8 tiles on 48x32 -> 24 tiles, short
+    per-tile lists -> chunks spanning many tiles (the hard case)."""
+
+    PL_CFG = RasterizeConfig(backend="pallas", max_pairs=1 << 14,
+                             interpret=True, layout="mixed", window=4,
+                             tile_w=8, tile_h=8)
+    XLA_CFG = RasterizeConfig(backend="xla", max_pairs=1 << 14, k_max=512,
+                              tile_w=8, tile_h=8)
+
+
+class TestMixedLayoutW1(TestPallasParity):
+    """Mixed layout with 1-tile output blocks (window=1): every chunk span
+    exercises the dual parity buffers and window-advance revisits."""
+
+    PL_CFG = RasterizeConfig(backend="pallas", max_pairs=1 << 14,
+                             interpret=True, layout="mixed", window=1)
+
+
+class TestMixedLayoutBigTiles(TestPallasParity):
+    """Mixed layout at 16x16 tiles (multi-chunk tiles: carry scratch across
+    chunk boundaries within one tile)."""
+
+    PL_CFG = RasterizeConfig(backend="pallas", max_pairs=1 << 14,
+                             interpret=True, layout="mixed", window=2)
