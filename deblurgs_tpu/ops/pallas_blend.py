@@ -229,6 +229,48 @@ def broadcast_fields(ctable, gauss_c, *, interpret=False):
     )(win_blk, ctable, ctable, gauss_c[None, :])[0]
 
 
+def _tile_visible(cfg, fslot, tcx, tcy):
+    """Per-pair visibility over its tile box: max alpha ≥ 1/255 anywhere.
+
+    ``power`` is concave (the conic is PSD by construction: +0.3 px
+    dilation keeps det > 0), so its max over the box is 0 when the mean
+    lies inside, else the max of the four edge maxima — each a 1-D concave
+    quadratic with a clamped stationary point. Exact, hence conservative
+    only through the continuous-box relaxation (box ⊇ pixel grid)."""
+    mx, my = fslot[0], fslot[1]
+    a, b, c = fslot[2], fslot[3], fslot[4]
+    opac = fslot[5]
+    x0 = tcx * cfg.tile_w
+    x1 = x0 + (cfg.tile_w - 1)
+    y0 = tcy * cfg.tile_h
+    y1 = y0 + (cfg.tile_h - 1)
+    inside = (mx >= x0) & (mx <= x1) & (my >= y0) & (my <= y1)
+
+    def q(dx, dy):
+        return -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+
+    def edge_x(xe):
+        dx = mx - xe
+        py = jnp.clip(my + b * dx / jnp.maximum(c, 1e-12), y0, y1)
+        return q(dx, my - py)
+
+    def edge_y(ye):
+        dy = my - ye
+        px = jnp.clip(mx + b * dy / jnp.maximum(a, 1e-12), x0, x1)
+        return q(mx - px, dy)
+
+    pmax = jnp.maximum(jnp.maximum(edge_x(x0), edge_x(x1)),
+                       jnp.maximum(edge_y(y0), edge_y(y1)))
+    pmax = jnp.where(inside, 0.0, pmax)
+    # visible ⟺ opac · exp(pmax) ≥ 1/255 ⟺ pmax ≥ -log(255 · opac).
+    # The margin keeps boundary pairs whose in-kernel power (MXU bilinear
+    # form, different summation order / bf16-pass rounding) could land on
+    # the other side of the gate — culling must agree with the kernel's own
+    # eligibility decision, not just the exact one.
+    thresh = -jnp.log(jnp.maximum(255.0 * opac, 1e-12))
+    return pmax >= thresh - (0.05 + 0.01 * jnp.abs(thresh))
+
+
 def _sort_stage(cfg, means2d, conic, opacity, color, depth, rect, area,
                 max_pairs: int):
     """Shared fused staging: expansion → segmented broadcast → through-sort
@@ -259,9 +301,26 @@ def _sort_stage(cfg, means2d, conic, opacity, color, depth, rect, area,
     localf = local.astype(jnp.float32)
     dy = jnp.floor(localf / fslot[12])
     dx = localf - dy * fslot[12]
-    tile = ((fslot[11] + dy) * cfg.tiles_x
-            + (fslot[10] + dx)).astype(jnp.int32)
+    tcx = fslot[10] + dx                                 # tile coords
+    tcy = fslot[11] + dy
+    tile = (tcy * cfg.tiles_x + tcx).astype(jnp.int32)
     tile = jnp.where(valid, tile, num_tiles)
+
+    if cfg.tile_cull and not cfg.need_n_contrib:
+        # EXACT per-pair tile cull: a rect-binned pair whose alpha stays
+        # below 1/255 over the whole tile box can never pass the kernel's
+        # eligibility gate (forward.cu:337: skip alpha < 1/255), so images
+        # and gradients are bit-for-bit unaffected — retire it to the sort
+        # tail, shrinking the blend volume (the CUDA reference keeps all
+        # rect pairs; exact culling is the TPU win that offsets the
+        # vectorized kernel's inability to early-out per pixel). The max of
+        # the concave quadratic `power` over the box is 0 if the mean lies
+        # inside, else the max of the four clamped edge maxima. Disabled
+        # when n_contrib is requested: culling shifts the reference's
+        # index-within-full-rect-list diagnostic.
+        keep = _tile_visible(cfg, fslot, tcx, tcy)
+        tile = jnp.where(keep, tile, num_tiles)
+        valid = valid & keep
     # large FINITE sentinel: the sorted depth row doubles as field row 9,
     # and a masked column's `w = 0` would turn an inf into 0·inf = NaN in
     # the CD contraction (matmuls sum masked columns too)

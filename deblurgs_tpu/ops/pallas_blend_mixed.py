@@ -101,7 +101,9 @@ def prepare_mixed(cfg, fields, s_tile, s_gc, ids, n_emit,
     ns = _ns_static(cfg, max_pairs)
 
     slots = jnp.arange(nc, dtype=jnp.int32) * CHUNK
-    has = slots < total
+    # a chunk earns visits only if it holds any real-tile pair (tile-culled
+    # pairs sort to the sentinel tail alongside capacity padding)
+    has = (slots < total) & (s_tile[slots] < nt)
     t_lo = jnp.minimum(s_tile[slots], nt - 1)
     last = jnp.clip(slots + CHUNK - 1, 0, jnp.maximum(total - 1, 0))
     t_hi = jnp.minimum(s_tile[last], nt - 1)

@@ -51,6 +51,8 @@ class RasterizeConfig:
     layout: str = "lockstep"    # pallas grid layout: "lockstep" | "mixed"
                                 # (single-pass mixed-tile chunks; window =
                                 # tiles per output block — pallas_blend_mixed)
+    tile_cull: bool = True      # pallas: exact per-pair tile cull (only
+                                # active when need_n_contrib=False)
 
     def __post_init__(self):
         if self.backend not in ("xla", "pallas", "oracle"):
@@ -69,7 +71,7 @@ class RasterizeConfig:
             k_max=self.k_max, max_pairs=self.max_pairs, z_far=self.z_far,
             backend=self.backend, interpret=self.interpret,
             need_n_contrib=self.need_n_contrib, window=self.window,
-            layout=self.layout,
+            layout=self.layout, tile_cull=self.tile_cull,
         )
 
 

@@ -62,6 +62,11 @@ class BlendConfig:
                                # chunk-overlap steps) | "mixed" (single-pass
                                # mixed-tile chunks, window = output-block
                                # tiles; see pallas_blend_mixed)
+    tile_cull: bool = True     # pallas: retire rect pairs that can never
+                               # pass the 1/255 alpha gate anywhere in
+                               # their tile (exact; disabled automatically
+                               # when need_n_contrib — the cull shifts the
+                               # reference's within-rect-list diagnostic)
 
     @property
     def tiles_x(self) -> int:

@@ -143,3 +143,84 @@ class TestMixedLayoutBigTiles(TestPallasParity):
 
     PL_CFG = RasterizeConfig(backend="pallas", max_pairs=1 << 14,
                              interpret=True, layout="mixed", window=2)
+
+
+class TestTileCull:
+    """Exact per-pair tile culling (pallas, need_n_contrib=False): images
+    and gradients are unchanged — culled pairs could never pass the 1/255
+    eligibility gate anywhere in their tile."""
+
+    def setup_method(self, method):
+        self.cam, self.cs, _ = make_camera(width=48, height=32)
+        (self.means, self.scales, self.rots,
+         self.opac, self.shs) = make_gaussians(jax.random.PRNGKey(77), n=150,
+                                               sh_deg=1, opacity_max=0.95)
+        self.bg = jnp.array([0.1, 0.2, 0.3])
+
+    def _cfg(self, **kw):
+        return RasterizeConfig(backend="pallas", max_pairs=1 << 14,
+                               interpret=True, need_n_contrib=False,
+                               tile_w=8, tile_h=8, **kw)
+
+    def test_cull_image_and_grad_parity(self):
+        w_img = jax.random.normal(jax.random.PRNGKey(5), (32, 48, 3))
+
+        def loss(cfg, means, opac):
+            out = render(means, self.scales, self.rots, opac, self.shs,
+                         self.cam, self.cs, self.bg, cfg=cfg, sh_degree=1)
+            return jnp.sum(out.image * w_img), out.image
+
+        for layout in ("lockstep", "mixed"):
+            (l_on, img_on), g_on = jax.value_and_grad(
+                functools.partial(loss, self._cfg(tile_cull=True,
+                                                  layout=layout, window=2)),
+                argnums=(0, 1), has_aux=True)(self.means, self.opac)
+            (l_off, img_off), g_off = jax.value_and_grad(
+                functools.partial(loss, self._cfg(tile_cull=False,
+                                                  layout=layout, window=2)),
+                argnums=(0, 1), has_aux=True)(self.means, self.opac)
+            np.testing.assert_allclose(np.asarray(img_on),
+                                       np.asarray(img_off),
+                                       atol=2e-6, err_msg=layout)
+            # removing culled slots reorders the segment sums — grads agree
+            # up to f32 accumulation order
+            for a, b in zip(g_on, g_off):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=3e-5, rtol=1e-5,
+                                           err_msg=layout)
+
+    def test_tile_visible_is_conservative_and_tight(self):
+        """_tile_visible must never cull a pair that some pixel composites,
+        and must match the continuous-box max exactly on a dense probe."""
+        from deblurgs_tpu.ops import pallas_blend as pb
+
+        class _Cfg:
+            tile_w = 8
+            tile_h = 8
+
+        key = jax.random.PRNGKey(9)
+        n = 512
+        ks = jax.random.split(key, 6)
+        mx = jax.random.uniform(ks[0], (n,), minval=-12.0, maxval=20.0)
+        my = jax.random.uniform(ks[1], (n,), minval=-12.0, maxval=20.0)
+        # random PSD conics: a,c > 0, b^2 < ac
+        a = jax.random.uniform(ks[2], (n,), minval=0.02, maxval=2.0)
+        c = jax.random.uniform(ks[3], (n,), minval=0.02, maxval=2.0)
+        b = (jax.random.uniform(ks[4], (n,), minval=-0.95, maxval=0.95)
+             * jnp.sqrt(a * c))
+        opac = jax.random.uniform(ks[5], (n,), minval=0.005, maxval=1.0)
+        fslot = jnp.stack([mx, my, a, b, c, opac])
+        vis = pb._tile_visible(_Cfg, fslot, jnp.zeros(n), jnp.zeros(n))
+
+        px, py = jnp.meshgrid(jnp.arange(8.0), jnp.arange(8.0))
+        dx = mx[:, None] - px.ravel()[None, :]
+        dy = my[:, None] - py.ravel()[None, :]
+        power = (-0.5 * (a[:, None] * dx * dx + c[:, None] * dy * dy)
+                 - b[:, None] * dx * dy)
+        alpha = opac[:, None] * jnp.exp(jnp.minimum(power, 0.0))
+        brute_visible = jnp.any(alpha >= 1.0 / 255.0, axis=1)
+        # conservative: everything brute-visible must be kept
+        assert not bool(jnp.any(brute_visible & ~vis))
+        # tight enough to be useful: culls a majority of far-away pairs
+        far = (mx < -8) | (mx > 16) | (my < -8) | (my > 16)
+        assert float(jnp.mean(vis[far].astype(jnp.float32))) < 0.5
