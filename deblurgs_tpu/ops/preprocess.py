@@ -117,17 +117,20 @@ def compute_cov2d(
 def compute_rect(
     px: jax.Array, py: jax.Array, radius: jax.Array,
     tiles_x: int, tiles_y: int, tile_w: int, tile_h: int,
+    radius_y: jax.Array | None = None,
 ):
     """Tile bounding rect of a splat — ``getRect`` (``auxiliary.h:46-56``).
 
     The CUDA truncating int casts on possibly-negative quotients agree with
-    floor after the 0-clamp, so floor is used.
+    floor after the 0-clamp, so floor is used. ``radius_y`` allows the
+    tight per-axis emission rect (see ``preprocess(tight_rect=True)``).
     """
     r = radius.astype(px.dtype)
+    ry = r if radius_y is None else radius_y.astype(py.dtype)
     x0 = jnp.clip(jnp.floor((px - r) / tile_w), 0, tiles_x).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((py - r) / tile_h), 0, tiles_y).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((py - ry) / tile_h), 0, tiles_y).astype(jnp.int32)
     x1 = jnp.clip(jnp.floor((px + r + tile_w - 1) / tile_w), 0, tiles_x).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((py + r + tile_h - 1) / tile_h), 0, tiles_y).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((py + ry + tile_h - 1) / tile_h), 0, tiles_y).astype(jnp.int32)
     return x0, y0, x1, y1
 
 
@@ -147,6 +150,7 @@ def preprocess(
     active: jax.Array | None = None,
     vsp: jax.Array | None = None,
     cull_z: float = 0.2,
+    tight_rect: bool = False,
 ) -> PreprocessOut:
     """Vectorized per-Gaussian preprocess (``forward.cu:166-268``).
 
@@ -193,9 +197,31 @@ def preprocess(
     x0, y0, x1, y1 = compute_rect(px, py, radius_i, tiles_x, tiles_y, tile_w, tile_h)
     area = (x1 - x0) * (y1 - y0)
 
+    # visibility / radius keep the REFERENCE 3σ semantics (radii feeds the
+    # densification stats; `visible` mirrors radii > 0) even when the
+    # emission rect below is tightened
     visible = in_front & det_ok & (area > 0)
     if active is not None:
         visible = visible & active
+
+    if tight_rect:
+        # emission-only rect shrink: the axis-aligned bounding box of the
+        # alpha ≥ 1/255 ellipse has half-widths sqrt(2·ln(255·o)·cov_kk)
+        # (box extents of {0.5 pᵀ conic p ≤ L} are sqrt(2L·(conic⁻¹)_kk) and
+        # conic⁻¹ = cov2d). Pairs outside can never pass the kernel's
+        # eligibility gate (forward.cu:337), so images and gradients are
+        # unchanged; the reference emits the full 3σ square (which TRUNCATES
+        # visible tails at high opacity — the AABB is clamped to it so the
+        # truncation semantics are preserved exactly). +0.1 in L absorbs
+        # in-kernel power rounding at the gate; +1 px is box-vs-pixel-grid
+        # slack.
+        L = jnp.log(jnp.maximum(255.0 * opacities, 1e-12)) + 0.1
+        rf = radius_i.astype(px.dtype)
+        rx = jnp.minimum(jnp.sqrt(jnp.maximum(2.0 * L * a, 0.0)) + 1.0, rf)
+        ry = jnp.minimum(jnp.sqrt(jnp.maximum(2.0 * L * c, 0.0)) + 1.0, rf)
+        x0, y0, x1, y1 = compute_rect(px, py, rx, tiles_x, tiles_y,
+                                      tile_w, tile_h, radius_y=ry)
+        area = (x1 - x0) * (y1 - y0)
 
     if colors_precomp is not None:
         color = colors_precomp

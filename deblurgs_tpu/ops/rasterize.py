@@ -53,6 +53,10 @@ class RasterizeConfig:
                                 # tiles per output block — pallas_blend_mixed)
     tile_cull: bool = True      # pallas: exact per-pair tile cull (only
                                 # active when need_n_contrib=False)
+    tight_rect: bool = True     # per-axis 1/255-ellipse AABB emission rect
+                                # (clamped to the reference 3σ square; image
+                                # and gradient exact — shrinks the sort).
+                                # radii/visible keep reference semantics.
 
     def __post_init__(self):
         if self.backend not in ("xla", "pallas", "oracle"):
@@ -118,6 +122,7 @@ def render(
         sh_degree=sh_degree, use_sigmoid=cfg.use_sigmoid,
         tile_w=cfg.tile_w, tile_h=cfg.tile_h,
         active=active, vsp=vsp, cull_z=cfg.cull_z,
+        tight_rect=cfg.tight_rect,
     )
 
     if cfg.backend == "oracle":

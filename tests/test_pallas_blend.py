@@ -224,3 +224,47 @@ class TestTileCull:
         # tight enough to be useful: culls a majority of far-away pairs
         far = (mx < -8) | (mx > 16) | (my < -8) | (my > 16)
         assert float(jnp.mean(vis[far].astype(jnp.float32))) < 0.5
+
+
+class TestTightRect:
+    """Per-axis 1/255-ellipse AABB emission rects: pair count shrinks,
+    images/gradients unchanged (vs the reference 3σ square rect)."""
+
+    def setup_method(self, method):
+        self.cam, self.cs, _ = make_camera(width=48, height=32)
+        (self.means, self.scales, self.rots,
+         self.opac, self.shs) = make_gaussians(jax.random.PRNGKey(11), n=150,
+                                               sh_deg=1, opacity_max=0.6)
+        self.bg = jnp.array([0.3, 0.1, 0.5])
+
+    def test_parity_and_reduction(self):
+        w_img = jax.random.normal(jax.random.PRNGKey(6), (32, 48, 3))
+
+        def run(tight, backend="pallas"):
+            cfg = RasterizeConfig(backend=backend, max_pairs=1 << 14,
+                                  interpret=True, need_n_contrib=False,
+                                  tile_w=8, tile_h=8, tight_rect=tight,
+                                  k_max=512)
+
+            def loss(means, opac):
+                out = render(means, self.scales, self.rots, opac, self.shs,
+                             self.cam, self.cs, self.bg, cfg=cfg,
+                             sh_degree=1)
+                return jnp.sum(out.image * w_img), (out.image, out.num_pairs)
+
+            (l, (img, npair)), g = jax.value_and_grad(
+                loss, argnums=(0, 1), has_aux=True)(self.means, self.opac)
+            return img, npair, g
+
+        img_t, np_t, g_t = run(True)
+        img_r, np_r, g_r = run(False)
+        assert int(np_t) < int(np_r)   # actually shrinks the emission
+        np.testing.assert_allclose(np.asarray(img_t), np.asarray(img_r),
+                                   atol=2e-6)
+        for a, b in zip(g_t, g_r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3e-5, rtol=1e-5)
+        # xla backend agrees too (shared preprocess)
+        img_x, _, _ = run(True, backend="xla")
+        np.testing.assert_allclose(np.asarray(img_t), np.asarray(img_x),
+                                   atol=1e-4)
