@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--tile", type=int, default=32)
     ap.add_argument("--window", type=int, default=1)
+    ap.add_argument("--layout", default="lockstep",
+                    choices=["lockstep", "mixed"])
+    ap.add_argument("--no_cull", action="store_true")
+    ap.add_argument("--fat_rect", action="store_true")
     ap.add_argument("--bwd", action="store_true")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--logdir", default="/tmp/xprof_trace")
@@ -52,14 +56,18 @@ def main():
     gauss, cam, cs = build_scene(n=args.n, width=args.width, height=args.height)
     bg = jnp.zeros(3)
     probe_cfg = RasterizeConfig(backend="xla", max_pairs=1 << 20, k_max=8,
-                                tile_w=args.tile, tile_h=args.tile)
+                                tile_w=args.tile, tile_h=args.tile,
+                                tight_rect=not args.fat_rect)
     probe = jax.jit(lambda *a: render(*a, cam, cs, bg, cfg=probe_cfg,
                                       sh_degree=2).num_pairs)
     num_pairs = int(probe(*gauss))
     max_pairs = max(int(num_pairs * 1.1) + 1023 & ~1023, 1 << 14)
+    print(f"pairs={num_pairs} max_pairs={max_pairs}")
     cfg = RasterizeConfig(backend="pallas", max_pairs=max_pairs, k_max=2048,
                           tile_w=args.tile, tile_h=args.tile,
-                          need_n_contrib=False, window=args.window)
+                          need_n_contrib=False, window=args.window,
+                          layout=args.layout, tile_cull=not args.no_cull,
+                          tight_rect=not args.fat_rect)
 
     if args.bwd:
         def step(*g):

@@ -63,6 +63,15 @@ _SCRIPT = textwrap.dedent("""
     gx = np.asarray(jax.jit(jax.grad(lambda m: fx16(m).sum()))(means))
     gscale = float(np.abs(gx).max()) or 1.0
     diff_w4_grad = float(np.abs(gw - gx).max()) / gscale
+    # mixed single-pass chunk layout + tile cull + tight rects (the bench
+    # configuration) — forward AND backward vs the 16px XLA reference
+    cfgm = RasterizeConfig(backend="pallas", max_pairs=1 << 16, k_max=2048,
+                           tile_w=16, tile_h=16, window=4, layout="mixed",
+                           need_n_contrib=False)
+    fm = jax.jit(lambda m: render(m, scales, rots, opac, shs, cam, cs,
+                                  bg, cfg=cfgm, sh_degree=2).image)
+    outs["pallas_mixed"] = np.asarray(fm(means))
+    gm = np.asarray(jax.jit(jax.grad(lambda m: fm(m).sum()))(means))
     cfg = RasterizeConfig(backend="xla", max_pairs=1 << 15, k_max=2048)
     out = render(means, scales, rots, opac, shs, cam, cs, bg, cfg=cfg,
                  sh_degree=2)
@@ -70,14 +79,21 @@ _SCRIPT = textwrap.dedent("""
     diff = float(np.abs(outs["pallas"] - outs["xla"]).max())
     diff_oracle = float(np.abs(outs["pallas"] - outs["oracle"]).max())
     diff_w4 = float(np.abs(outs["pallas_w4"] - outs["xla16"]).max())
+    diff_mixed = float(np.abs(outs["pallas_mixed"] - outs["xla16"]).max())
+    gscale = float(np.abs(gx).max()) or 1.0
+    diff_mixed_grad = float(np.abs(gm - gx).max()) / gscale
     print(json.dumps({"max_image_diff": diff,
                       "max_vs_oracle_diff": diff_oracle,
                       "max_w4_diff": diff_w4,
-                      "max_w4_grad_diff": diff_w4_grad}))
+                      "max_w4_grad_diff": diff_w4_grad,
+                      "max_mixed_diff": diff_mixed,
+                      "max_mixed_grad_diff": diff_mixed_grad}))
     assert diff < 1e-3, diff
     assert diff_oracle < 1e-3, diff_oracle
     assert diff_w4 < 1e-3, diff_w4
     assert diff_w4_grad < 1e-3, diff_w4_grad
+    assert diff_mixed < 1e-3, diff_mixed
+    assert diff_mixed_grad < 1e-3, diff_mixed_grad
 """)
 
 
