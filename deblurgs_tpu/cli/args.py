@@ -76,6 +76,9 @@ class ModelParams(ParamGroup):
         self.max_pairs = 1 << 19
         self.tile = 16
         self.window = 1               # pallas: tiles per kernel grid step
+        self.kernel_layout = "lockstep"  # pallas grid: "mixed" | "lockstep"
+        self.tile_cull = True         # exact per-pair tile cull (pallas)
+        self.tight_rect = True        # 1/255-ellipse AABB emission rects
 
         super().__init__(parser, "Loading Parameters", sentinel)
 

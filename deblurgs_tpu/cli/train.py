@@ -39,7 +39,8 @@ def build_configs(lp, op):
         backend=lp.backend, cull_z=lp.z_near, z_far=lp.z_far,
         use_sigmoid=lp.activation == "sigmoid",
         need_n_contrib=False,  # diagnostic-only output; skip in training
-        window=lp.window,
+        window=lp.window, layout=lp.kernel_layout,
+        tile_cull=lp.tile_cull, tight_rect=lp.tight_rect,
     )
     return gcfg, mcfg, ocfg, rcfg
 
