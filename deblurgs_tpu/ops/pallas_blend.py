@@ -196,12 +196,18 @@ def _broadcast_kernel(w_ref, ctab_a, ctab_b, gc_ref, out_ref):
     )                                                           # [16, CHUNK]
 
 
-def broadcast_fields(ctable, gauss_c, *, interpret=False):
+def broadcast_fields(ctable, gauss_c, *, interpret=False, total=None):
     """[P, 16] compact table + [max_pairs] compact ranks → [16, max_pairs]
-    slot-space field rows (Pallas; see :func:`_broadcast_kernel`)."""
+    slot-space field rows (Pallas; see :func:`_broadcast_kernel`).
+
+    With ``total`` (real slot count) and dynamic grids enabled, chunks past
+    the capacity padding are skipped — their outputs are garbage, which the
+    caller already masks via the ``valid`` sentinel keys."""
     P = ctable.shape[0]
     max_pairs = gauss_c.shape[0]
     nc = max_pairs // CHUNK
+    if _DYN_GRID and total is not None:
+        nc = jnp.minimum((total + CHUNK - 1) // CHUNK, nc)
     p_pad = ((P + CHUNK - 1) // CHUNK) * CHUNK + CHUNK
     ctable = jnp.pad(ctable, ((0, p_pad - P), (0, 0)))
     win_blk = gauss_c[::CHUNK] >> 7                      # [nc] window block
@@ -295,7 +301,8 @@ def _sort_stage(cfg, means2d, conic, opacity, color, depth, rect, area,
         axis=-1,
     )                                                    # [P, 16]
     ctable = table[ids]                                  # [P, 16] (P rows)
-    fslot = broadcast_fields(ctable, gauss_c, interpret=cfg.interpret)
+    fslot = broadcast_fields(ctable, gauss_c, interpret=cfg.interpret,
+                             total=total)
 
     # per-slot tile id (f32 arithmetic exact: values < 2^24, see binning)
     localf = local.astype(jnp.float32)
