@@ -230,7 +230,7 @@ def _onehot(trow, b_start, W):
     return oh_lo, oh_hi
 
 
-def _mixed_core(cfg, data, carry_f, U):
+def _mixed_core(cfg, data, carry_f, U, need_G=False):
     """Shared per-chunk math: eligibility, segmented products, weights.
 
     ``data``: [16, CHUNK] fields block; ``carry_f``: f32 scalar tile id of
@@ -243,18 +243,22 @@ def _mixed_core(cfg, data, carry_f, U):
     cb = data[3:4, :]
     cc = data[4:5, :]
     opac = data[5:6, :]
-    b0 = -0.5 * (ca * xl * xl + cc * yl * yl) - cb * xl * yl
+    # log(opac) folds into the bilinear form's constant row: one exp yields
+    # raw alpha directly (the separate opac·G multiply was a full
+    # [PX, CHUNK] pass); the power ≤ 0 gate becomes a row-broadcast compare
+    logop = jnp.log(jnp.maximum(opac, 1e-38))             # [1, CHUNK]
+    b0 = -0.5 * (ca * xl * xl + cc * yl * yl) - cb * xl * yl + logop
     b1 = ca * xl + cb * yl
     b2 = cc * yl + cb * xl
     zero = jnp.zeros_like(b0)
     b8 = jnp.concatenate(
         [b0, b1, b2, -0.5 * ca, -0.5 * cc, -cb, zero, zero], 0)
-    power = jax.lax.dot_general(
+    powero = jax.lax.dot_general(
         pf, b8, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)               # [PX, CHUNK]
-    G = jnp.exp(power)
-    alpha = jnp.minimum(0.99, opac * G)
-    elig = (power <= 0.0) & (alpha >= _ALPHA_MIN)
+        preferred_element_type=jnp.float32)       # [PX, CHUNK] power+log(o)
+    araw = jnp.exp(powero)                        # = opac · exp(power)
+    alpha = jnp.minimum(0.99, araw)
+    elig = (powero <= logop) & (araw >= _ALPHA_MIN)
     alpha_eff = jnp.where(elig, alpha, 0.0)
     mult = 1.0 - alpha_eff
     logm = jnp.log(mult)
@@ -267,9 +271,14 @@ def _mixed_core(cfg, data, carry_f, U):
     live = P_run >= _T_EPS
     w = jnp.where(live, alpha_eff, 0.0) * P_prev
     comp = live & elig
-    return dict(trow=trow, xl=xl, yl=yl, ca=ca, cb=cb, cc=cc, opac=opac,
-                G=G, mult=mult, P_prev=P_prev, P_run=P_run, w=w, comp=comp,
-                live=live, fs=fs, seg_end=seg_end, m2in=m2in, pf=pf)
+    out = dict(trow=trow, xl=xl, yl=yl, ca=ca, cb=cb, cc=cc, opac=opac,
+               mult=mult, P_prev=P_prev, P_run=P_run, w=w, comp=comp,
+               live=live, fs=fs, seg_end=seg_end, m2in=m2in, pf=pf)
+    if need_G:
+        # G = exp(power) reconstructed from raw alpha (only accurate where
+        # eligible — everywhere it feeds comp-masked gradients)
+        out["G"] = araw * (1.0 / jnp.maximum(opac, 1e-38))
+    return out
 
 
 def _route_cd(data, oh, wgt, W):
@@ -478,7 +487,7 @@ def _backward_kernel(cfg, sm_ref, st_ref, f_ref, dl_e, dl_o, bgd_e, bgd_o,
 
         data = f_ref[...]
         carry_f = jnp.float32(sm_ref[_CT_R, c])
-        cr = _mixed_core(cfg, data, carry_f, u_ent[...])
+        cr = _mixed_core(cfg, data, carry_f, u_ent[...], need_G=True)
         u_pend[...] = cr["P_run"][:, CHUNK - 1:]
 
         b_start = sm_ref[_BSTART_R, c]
