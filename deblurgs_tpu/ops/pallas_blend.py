@@ -286,7 +286,9 @@ def _sort_stage(cfg, means2d, conic, opacity, color, depth, rect, area,
     from deblurgs_tpu.ops import binning as binning_lib
 
     num_tiles = cfg.num_tiles
-    P = means2d.shape[0]
+    total_tiles = cfg.total_tiles
+    P = means2d.shape[0]                  # = n_images · per-image P
+    p_img = P // cfg.n_images
     gauss_c, ids, valid, local, total = binning_lib.expand_compact(
         area.astype(jnp.int32), max_pairs)
     n_emit = jnp.sum((area > 0).astype(jnp.int32))
@@ -294,10 +296,17 @@ def _sort_stage(cfg, means2d, conic, opacity, color, depth, rect, area,
     x0f = rect[:, 0].astype(jnp.float32)
     y0f = rect[:, 1].astype(jnp.float32)
     wf = jnp.maximum(rect[:, 2] - rect[:, 0], 1).astype(jnp.float32)
+    # col 13: stacked-tile offset of the row's image (batched rendering —
+    # image s owns tiles [s·num_tiles, (s+1)·num_tiles))
+    if cfg.n_images > 1:
+        toff = ((jnp.arange(P, dtype=jnp.int32) // p_img)
+                * num_tiles).astype(jnp.float32)[:, None]
+    else:
+        toff = jnp.zeros((P, 1), jnp.float32)
     table = jnp.concatenate(
         [means2d, conic, opacity[:, None], color, depth[:, None],
-         x0f[:, None], y0f[:, None], wf[:, None],
-         jnp.zeros((P, NFIELD - 13), jnp.float32)],
+         x0f[:, None], y0f[:, None], wf[:, None], toff,
+         jnp.zeros((P, NFIELD - 14), jnp.float32)],
         axis=-1,
     )                                                    # [P, 16]
     ctable = table[ids]                                  # [P, 16] (P rows)
@@ -310,8 +319,8 @@ def _sort_stage(cfg, means2d, conic, opacity, color, depth, rect, area,
     dx = localf - dy * fslot[12]
     tcx = fslot[10] + dx                                 # tile coords
     tcy = fslot[11] + dy
-    tile = (tcy * cfg.tiles_x + tcx).astype(jnp.int32)
-    tile = jnp.where(valid, tile, num_tiles)
+    tile = (fslot[13] + tcy * cfg.tiles_x + tcx).astype(jnp.int32)
+    tile = jnp.where(valid, tile, total_tiles)
 
     if cfg.tile_cull and not cfg.need_n_contrib:
         # EXACT per-pair tile cull: a rect-binned pair whose alpha stays
@@ -326,7 +335,7 @@ def _sort_stage(cfg, means2d, conic, opacity, color, depth, rect, area,
         # when n_contrib is requested: culling shifts the reference's
         # index-within-full-rect-list diagnostic.
         keep = _tile_visible(cfg, fslot, tcx, tcy)
-        tile = jnp.where(keep, tile, num_tiles)
+        tile = jnp.where(keep, tile, total_tiles)
         valid = valid & keep
     # large FINITE sentinel: the sorted depth row doubles as field row 9,
     # and a masked column's `w = 0` would turn an inf into 0·inf = NaN in
@@ -341,16 +350,19 @@ def _sort_stage(cfg, means2d, conic, opacity, color, depth, rect, area,
     s_tile, s_depth, s_gc = sorted_ops[0], sorted_ops[1], sorted_ops[2]
     # rows 10-12: tile id + tile origin per slot (f32 exact, < 2^24) — the
     # mixed-layout kernel reads per-column tile identity/origin from the
-    # fields block itself (a chunk spans several tiles)
+    # fields block itself (a chunk spans several tiles). Origins come from
+    # the PER-IMAGE tile id (int math — stacked ids mod num_tiles)
+    s_tile_img = s_tile % num_tiles if cfg.n_images > 1 else s_tile
+    tyi_i = s_tile_img // cfg.tiles_x
     s_tilef = s_tile.astype(jnp.float32)
-    tyi = jnp.floor(s_tilef / cfg.tiles_x)
-    tx0 = (s_tilef - tyi * cfg.tiles_x) * cfg.tile_w
-    ty0 = tyi * cfg.tile_h
+    tx0 = ((s_tile_img - tyi_i * cfg.tiles_x)
+           * cfg.tile_w).astype(jnp.float32)
+    ty0 = (tyi_i * cfg.tile_h).astype(jnp.float32)
     fields = jnp.stack(
         list(sorted_ops[3:12]) + [s_depth, s_tilef, tx0, ty0]
         + [jnp.zeros_like(s_depth)] * (NFIELD - 13), axis=0)
 
-    tq = jnp.arange(num_tiles, dtype=jnp.int32)
+    tq = jnp.arange(total_tiles, dtype=jnp.int32)
     from deblurgs_tpu.ops.binning import searchsorted_right
     tile_start = searchsorted_right(s_tile, tq - 1)
     tile_stop = searchsorted_right(s_tile, tq)
@@ -380,6 +392,9 @@ def prepare_fused(cfg, means2d, conic, opacity, color, depth, rect, area,
         prep = mixed.prepare_mixed(cfg, fields, s_tile, s_gc, ids, n_emit,
                                    tile_start, tile_stop, total, max_pairs)
         return prep, total, max_per_tile
+    if cfg.n_images > 1:
+        raise NotImplementedError(
+            "batched multi-view rendering requires layout='mixed'")
 
     num_tiles = cfg.num_tiles
     (tile_start, tile_stop, step_tile, step_chunk, step_start,

@@ -79,7 +79,7 @@ class PreparedMixed(NamedTuple):
 
 
 def _nbuf(cfg) -> int:
-    nblk = -(-cfg.num_tiles // cfg.window)
+    nblk = -(-cfg.total_tiles // cfg.window)
     return nblk // 2 + 1
 
 
@@ -87,7 +87,7 @@ def _ns_static(cfg, max_pairs: int) -> int:
     """Step bound: one visit per chunk + window advances. Each extra visit
     moves the covered-block pointer by 2 and block pointers only move
     forward, so extra visits ≤ nblk/2 overall."""
-    nblk = -(-cfg.num_tiles // cfg.window)
+    nblk = -(-cfg.total_tiles // cfg.window)
     return max_pairs // CHUNK + nblk // 2 + 2
 
 
@@ -95,7 +95,7 @@ def prepare_mixed(cfg, fields, s_tile, s_gc, ids, n_emit,
                   tile_start, tile_stop, total, max_pairs: int):
     """Step maps for the mixed-chunk grid from the sorted tile ids."""
     W = cfg.window
-    nt = cfg.num_tiles
+    nt = cfg.total_tiles
     nc = max_pairs // CHUNK
     nbuf = _nbuf(cfg)
     ns = _ns_static(cfg, max_pairs)
@@ -383,7 +383,7 @@ def _forward_kernel(cfg, sm_ref, st_ref, f_ref, *refs):
 
 def forward_mixed(cfg, prep: PreparedMixed):
     """Mixed-layout Pallas forward: (C [T,PX,3], D, T, n_con) tiled."""
-    nt, px_n, W = cfg.num_tiles, cfg.tile_px, cfg.window
+    nt, px_n, W = cfg.total_tiles, cfg.tile_px, cfg.window
     nbuf = _nbuf(cfg)
     blk_cd = pl.BlockSpec((1, 4 * W, px_n),
                           lambda c, sm, st: (sm[_SE_R, c], 0, 0),
@@ -580,7 +580,7 @@ def backward_mixed(cfg, prep: PreparedMixed, num_gaussians, bg,
                    final_T_t, dL_dpix_t, dL_dpixd_t, C_t, D_t):
     """Mixed-layout Pallas backward (same cotangent surface as
     ``pallas_blend.backward``)."""
-    nt, px_n, W = cfg.num_tiles, cfg.tile_px, cfg.window
+    nt, px_n, W = cfg.total_tiles, cfg.tile_px, cfg.window
     nbuf = _nbuf(cfg)
     dl = jnp.concatenate(
         [jnp.moveaxis(dL_dpix_t, 2, 1), dL_dpixd_t[:, None, :]], axis=1

@@ -159,3 +159,69 @@ def render(
         radii=pre.radius, visible=pre.visible,
         num_pairs=num_pairs, max_per_tile=max_per_tile,
     )
+
+
+def render_batch(
+    means3d: jax.Array,
+    scales: jax.Array,
+    rotations: jax.Array,
+    opacities: jax.Array,
+    shs: Optional[jax.Array],
+    cams: CameraArrays,
+    cs: CameraStatic,
+    bg: jax.Array,
+    *,
+    cfg: RasterizeConfig = RasterizeConfig(
+        backend="pallas", layout="mixed"),
+    sh_degree: int = 0,
+    colors_precomp: Optional[jax.Array] = None,
+    active: Optional[jax.Array] = None,
+    vsp: Optional[jax.Array] = None,
+) -> RenderOutput:
+    """Render F views of one scene in a SINGLE rasterizer launch.
+
+    The reference loops f=21 serial CUDA launches per training step
+    (``motion.py:141-150``); here the views stack on the tile axis — view s
+    owns tiles [s·nt, (s+1)·nt) — so one preprocess (vmapped), ONE sort and
+    ONE mixed-layout blend kernel cover the whole sub-frame batch. Requires
+    ``cfg.layout == "mixed"`` and the pallas backend.
+
+    Args:
+      cams: CameraArrays batched [F, ...]; vsp: optional [F, P, 2] zeros
+        (its cotangent = per-view NDC viewspace grads for densification).
+      ``cfg.max_pairs`` must budget ALL F views' pairs.
+    Returns: RenderOutput with image [F, H, W, 3], depth/final_T/n_contrib
+      [F, H, W], radii/visible [F, P].
+    """
+    if cfg.backend != "pallas" or cfg.layout != "mixed":
+        raise NotImplementedError(
+            "render_batch requires backend='pallas', layout='mixed'")
+    F = cams.view.shape[0]
+    P = means3d.shape[0]
+    cov6 = build_covariance(scales, rotations, cfg.scale_modifier)
+
+    def pre_one(cam, v):
+        return pre_lib.preprocess(
+            means3d, cov6, shs, colors_precomp, opacities, cam, cs,
+            sh_degree=sh_degree, use_sigmoid=cfg.use_sigmoid,
+            tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+            active=active, vsp=v, cull_z=cfg.cull_z,
+            tight_rect=cfg.tight_rect,
+        )
+
+    in_axes = (0, 0 if vsp is not None else None)
+    pre = jax.vmap(pre_one, in_axes=in_axes)(cams, vsp)
+
+    bcfg = dataclasses.replace(cfg.blend_config(cs), n_images=F)
+    flat = lambda x: x.reshape((F * P,) + x.shape[2:])
+    (image, depth_img, final_T, n_contrib,
+     num_pairs, max_per_tile) = tile_blend.blend_fused(
+        bcfg, flat(pre.means2d), flat(pre.conic), flat(pre.opacity),
+        flat(pre.color), flat(pre.depth), flat(pre.rect),
+        flat(pre.tiles_touched.astype(jnp.int32)), bg,
+    )
+    return RenderOutput(
+        image=image, depth=depth_img, final_T=final_T, n_contrib=n_contrib,
+        radii=pre.radius, visible=pre.visible,
+        num_pairs=num_pairs, max_per_tile=max_per_tile,
+    )

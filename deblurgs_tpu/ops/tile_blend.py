@@ -67,6 +67,15 @@ class BlendConfig:
                                # their tile (exact; disabled automatically
                                # when need_n_contrib — the cull shifts the
                                # reference's within-rect-list diagnostic)
+    n_images: int = 1          # batched multi-view rendering (mixed layout
+                               # only): image s occupies tiles
+                               # [s·num_tiles, (s+1)·num_tiles) of one
+                               # stacked tile axis — one sort + one kernel
+                               # launch for all sub-frames
+
+    @property
+    def total_tiles(self) -> int:
+        return self.num_tiles * self.n_images
 
     @property
     def tiles_x(self) -> int:
@@ -400,6 +409,22 @@ def blend_fused(cfg: BlendConfig, means2d, conic, opacity, color, depth,
     return out
 
 
+def _tiles_to_images(cfg, tiled):
+    """Per-image assembly of a stacked tile axis ([total_tiles, ...] ->
+    [n_images, H, W, ...] or [H, W, ...] when unbatched)."""
+    if cfg.n_images == 1:
+        return tiles_to_image(cfg, tiled)
+    per = tiled.reshape((cfg.n_images, cfg.num_tiles) + tiled.shape[1:])
+    return jax.vmap(lambda t: tiles_to_image(cfg, t))(per)
+
+
+def _images_to_tiles(cfg, img):
+    if cfg.n_images == 1:
+        return image_to_tiles(cfg, img)
+    tiles = jax.vmap(lambda i: image_to_tiles(cfg, i))(img)
+    return tiles.reshape((cfg.total_tiles,) + tiles.shape[2:])
+
+
 def _blend_fused_fwd(cfg, means2d, conic, opacity, color, depth,
                      rect, area, bg):
     from deblurgs_tpu.ops import pallas_blend
@@ -411,10 +436,10 @@ def _blend_fused_fwd(cfg, means2d, conic, opacity, color, depth,
     image_t = C + T[..., None] * bg
     depth_t = D + T * cfg.z_far
     out = (
-        tiles_to_image(cfg, image_t),
-        tiles_to_image(cfg, depth_t),
-        tiles_to_image(cfg, T),
-        tiles_to_image(cfg, n_con),
+        _tiles_to_images(cfg, image_t),
+        _tiles_to_images(cfg, depth_t),
+        _tiles_to_images(cfg, T),
+        _tiles_to_images(cfg, n_con),
         num_pairs,
         max_per_tile,
     )
@@ -427,8 +452,8 @@ def _blend_fused_bwd(cfg, res, cot):
 
     prep, bg, final_T_t, C_t, D_t, P, rect, area = res
     dL_dimage, dL_ddepth, _dT, _dn, _dnp, _dmpt = cot
-    dL_dpix_t = image_to_tiles(cfg, dL_dimage)
-    dL_dpixd_t = image_to_tiles(cfg, dL_ddepth)
+    dL_dpix_t = _images_to_tiles(cfg, dL_dimage)
+    dL_dpixd_t = _images_to_tiles(cfg, dL_ddepth)
     dm, dc, do, dcol, dd, dbg = pallas_blend.backward(
         cfg, prep, P, bg, final_T_t, dL_dpix_t, dL_dpixd_t, C_t, D_t)
     int_zero = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
