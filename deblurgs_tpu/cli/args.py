@@ -79,6 +79,8 @@ class ModelParams(ParamGroup):
         self.kernel_layout = "lockstep"  # pallas grid: "mixed" | "lockstep"
         self.tile_cull = True         # exact per-pair tile cull (pallas)
         self.tight_rect = True        # 1/255-ellipse AABB emission rects
+        self.batched_render = False   # all sub-frames in ONE rasterizer
+                                      # launch (requires kernel_layout=mixed)
 
         super().__init__(parser, "Loading Parameters", sentinel)
 

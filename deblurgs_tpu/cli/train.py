@@ -99,6 +99,7 @@ def main(argv=None):
         save_iterations=tuple(args.save_iterations),
         checkpoint_iterations=tuple(args.checkpoint_iterations),
         debug=args.debug,
+        batched_render=lpe.batched_render,
     )
     state, first_iter = trainer.init_state(
         key=jax.random.PRNGKey(args.seed),

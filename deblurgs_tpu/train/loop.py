@@ -111,6 +111,8 @@ class Trainer:
                            # non-finite loss and abort (analog of the
                            # reference debug snapshot_fw/bw.dump facility,
                            # diff_gaussian_rasterization/__init__.py:92-99)
+    batched_render: bool = False  # all sub-frames in ONE rasterizer launch
+                           # (render_batch; pallas mixed layout)
 
     def __post_init__(self):
         self._step_cache: dict = {}
@@ -152,6 +154,7 @@ class Trainer:
                 white_background=getattr(self.scene, "white_background",
                                          False),
                 mesh=mesh,
+                batched_render=self.batched_render and mesh is None,
             )
             self._step_cache[key] = step_lib.make_train_step(st)
         return self._step_cache[key]

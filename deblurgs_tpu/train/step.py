@@ -26,7 +26,7 @@ from deblurgs_tpu.models import densify as densify_lib
 from deblurgs_tpu.models import gaussians as gm
 from deblurgs_tpu.models import motion as motion_lib
 from deblurgs_tpu.models import tonemap
-from deblurgs_tpu.ops.rasterize import RasterizeConfig, render
+from deblurgs_tpu.ops.rasterize import RasterizeConfig, render, render_batch
 from deblurgs_tpu.parallel import shard as shard_lib
 from deblurgs_tpu.train import losses, optim, schedules
 from deblurgs_tpu.train.config import OptimizationConfig
@@ -64,6 +64,9 @@ class TrainStatics:
     random_sample: bool = False
     white_background: bool = False  # extra opacity reset at densify_from_iter
     mesh: object = None        # jax.sharding.Mesh → shard the sub-frame axis
+    batched_render: bool = False  # ONE rasterizer launch for all sub-frames
+                               # (render_batch; pallas mixed layout —
+                               # rcfg.max_pairs must budget n_sub views)
 
 
 class StepMetrics(NamedTuple):
@@ -148,6 +151,17 @@ def train_step(state: TrainState, gt_image: jax.Array, cam_idx: jax.Array,
                 shard_lib.sharded_subframe_render(one, st.mesh)(
                     replicated, cams, vsp)
             )
+        elif st.batched_render:
+            # all sub-frames in ONE rasterizer launch (stacked tile axis)
+            out = render_batch(
+                rin["means3d"], rin["scales"], rin["rotations"],
+                rin["opacities"], rin["shs"], cams, st.cs, bg,
+                cfg=st.rcfg, sh_degree=st.sh_degree,
+                active=state.aux.active, vsp=vsp,
+            )
+            images, depths, radii = out.image, out.depth, out.radii
+            # num_pairs counts ALL sub-frames against the shared capacity
+            num_pairs, max_per_tile = out.num_pairs, out.max_per_tile
         else:
             images, depths, radii, num_pairs, max_per_tile = jax.lax.map(
                 lambda args: one(replicated, args), (cams, vsp)

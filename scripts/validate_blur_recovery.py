@@ -62,6 +62,13 @@ def main():
     ap.add_argument("--random_sample", action="store_true",
                     help="jitter the sub-frame times each step (reference "
                          "curve_random_sample)")
+    ap.add_argument("--batched", action="store_true",
+                    help="render all sub-frames in one rasterizer launch "
+                         "(pallas mixed layout; max_pairs budgets n_sub "
+                         "views)")
+    ap.add_argument("--layout", type=str, default="lockstep",
+                    choices=["lockstep", "mixed"])
+    ap.add_argument("--window", type=int, default=1)
     ap.add_argument("--pos_lr", type=float, default=0.00016,
                     help="xyz LR init (reference default)")
     ap.add_argument("--curve_lr_mult", type=float, default=1.0)
@@ -151,7 +158,11 @@ def main():
     )
 
     rcfg = RasterizeConfig(backend=args.backend, max_pairs=args.max_pairs,
-                           k_max=1024)
+                           k_max=1024,
+                           layout="mixed" if args.batched else args.layout,
+                           window=args.window,
+                           need_n_contrib=not (args.batched
+                                               or args.layout == "mixed"))
 
     def render_with(params, active, cam):
         rin = gm.render_inputs(params, gcfg)
@@ -261,7 +272,8 @@ def main():
             st = step_lib.TrainStatics(
                 gcfg=gcfg, mcfg=mcfg, ocfg=ocfg, rcfg=rcfg, cs=cs,
                 sh_degree=sh_degree, n_sub=n_sub, tone_mapping="identity",
-                spatial_lr_scale=2.0, random_sample=args.random_sample)
+                spatial_lr_scale=2.0, random_sample=args.random_sample,
+                batched_render=args.batched)
             step_cache[key] = step_lib.make_train_step(st)
         return step_cache[key]
 

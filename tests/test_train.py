@@ -357,3 +357,51 @@ class TestReferenceStepOrdering:
                                               st.gcfg)
         np.testing.assert_array_equal(np.asarray(new_state.params.opacity),
                                       np.asarray(expect.opacity))
+
+
+class TestBatchedRenderStep:
+    def test_batched_step_matches_loop(self):
+        """One blur-phase train step with render_batch (all sub-frames in
+        one launch) must match the per-sub-frame loop step: same rng stream,
+        same losses, same parameter updates."""
+        data = build_synthetic(jax.random.PRNGKey(8), n_cams=2)
+        gcfg = data["gcfg"]
+        params, aux = gm.create_from_pcd(data["pts"], data["cols"], gcfg,
+                                         capacity=64)
+        mcfg = motion_lib.MotionConfig(curve_order=3, n_subframes=3)
+        motion_params = motion_lib.init_motion(data["rots"], data["centers"],
+                                               mcfg, jax.random.PRNGKey(9),
+                                               init_noise=0.01)
+        ocfg = OptimizationConfig(
+            iterations=1000, curve_start_iter=1, curve_end_iter=1000,
+            densify_from_iter=10_000, opacity_reset_interval=10_000,
+        )
+        rcfg = RasterizeConfig(backend="pallas", interpret=True,
+                               layout="mixed", window=2, max_pairs=1 << 13,
+                               k_max=256, need_n_contrib=False)
+        state0 = step_lib.init_state(params, motion_params, aux,
+                                     jax.random.PRNGKey(10))
+
+        def run(batched):
+            st = step_lib.TrainStatics(
+                gcfg=gcfg, mcfg=mcfg, ocfg=ocfg, rcfg=rcfg, cs=data["cs"],
+                sh_degree=1, n_sub=3, tone_mapping="identity",
+                spatial_lr_scale=2.0, batched_render=batched)
+            fn = step_lib.make_train_step(st)
+            return fn(state0, data["gts"][0], jnp.int32(0), data["proj"])
+
+        s_b, m_b = run(True)
+        s_l, m_l = run(False)
+        np.testing.assert_allclose(float(m_b.loss), float(m_l.loss),
+                                   rtol=1e-5)
+        for name in ("xyz", "opacity", "scaling"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(s_b.params, name)),
+                np.asarray(getattr(s_l.params, name)), atol=1e-5,
+                err_msg=name)
+        np.testing.assert_allclose(np.asarray(s_b.motion.trans_ctrl),
+                                   np.asarray(s_l.motion.trans_ctrl),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s_b.aux.xyz_grad_accum),
+                                   np.asarray(s_l.aux.xyz_grad_accum),
+                                   atol=1e-5)
