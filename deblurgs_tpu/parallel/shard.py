@@ -67,3 +67,22 @@ def sharded_subframe_render(render_one, mesh: Mesh, axis: str = "sf"):
                            (cams_local, vsp_local))
 
     return go
+
+
+def sharded_block_render(render_block, mesh: Mesh, axis: str = "sf"):
+    """Like :func:`sharded_subframe_render` but each device renders its
+    whole local view block in ONE call (``render_block(replicated,
+    cams_local, vsp_local) -> pytree`` with a leading local-view axis) —
+    composes the batched multi-view rasterizer with sub-frame sharding:
+    one launch per device instead of one per sub-frame."""
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    def go(replicated, cams_local, vsp_local):
+        return render_block(replicated, cams_local, vsp_local)
+
+    return go

@@ -154,7 +154,7 @@ class Trainer:
                 white_background=getattr(self.scene, "white_background",
                                          False),
                 mesh=mesh,
-                batched_render=self.batched_render and mesh is None,
+                batched_render=self.batched_render,
             )
             self._step_cache[key] = step_lib.make_train_step(st)
         return self._step_cache[key]

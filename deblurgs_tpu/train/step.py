@@ -143,14 +143,32 @@ def train_step(state: TrainState, gt_image: jax.Array, cam_idx: jax.Array,
                     out.num_pairs, out.max_per_tile)
 
         if st.mesh is not None:
-            # sub-frames shard across the mesh; each device maps its block
-            # sequentially (parallel/shard.py)
+            # sub-frames shard across the mesh; each device renders its
+            # block — batched into one launch, or mapped sequentially
             assert st.n_sub % st.mesh.size == 0, (
                 f"n_sub={st.n_sub} must divide over {st.mesh.size} devices")
-            images, depths, radii, num_pairs, max_per_tile = (
-                shard_lib.sharded_subframe_render(one, st.mesh)(
-                    replicated, cams, vsp)
-            )
+            if st.batched_render:
+                def block(rep, cams_l, vsp_l):
+                    rin_r, active_r, bg_r = rep
+                    out = render_batch(
+                        rin_r["means3d"], rin_r["scales"],
+                        rin_r["rotations"], rin_r["opacities"], rin_r["shs"],
+                        cams_l, st.cs, bg_r, cfg=st.rcfg,
+                        sh_degree=st.sh_degree, active=active_r, vsp=vsp_l)
+                    lf = cams_l.view.shape[0]
+                    bc = lambda x: jnp.broadcast_to(x[None], (lf,))
+                    return (out.image, out.depth, out.radii,
+                            bc(out.num_pairs), bc(out.max_per_tile))
+
+                images, depths, radii, num_pairs, max_per_tile = (
+                    shard_lib.sharded_block_render(block, st.mesh)(
+                        replicated, cams, vsp)
+                )
+            else:
+                images, depths, radii, num_pairs, max_per_tile = (
+                    shard_lib.sharded_subframe_render(one, st.mesh)(
+                        replicated, cams, vsp)
+                )
         elif st.batched_render:
             # all sub-frames in ONE rasterizer launch (stacked tile axis)
             out = render_batch(

@@ -77,3 +77,36 @@ class TestSharding:
         fn = step_lib.make_train_step(st)
         state, metrics = fn(state, data["gts"][0], jnp.int32(0), data["proj"])
         assert np.isfinite(float(metrics.loss))
+
+    def test_sharded_batched_render_matches(self, setup):
+        """Mesh-sharded sub-frames with each device's block rendered in ONE
+        batched launch == the unsharded batched step."""
+        from deblurgs_tpu.ops.rasterize import RasterizeConfig
+
+        data, params, aux, mcfg, motion_params = setup
+        rcfg = RasterizeConfig(backend="pallas", interpret=True,
+                               layout="mixed", window=2, max_pairs=1 << 13,
+                               k_max=256, need_n_contrib=False)
+        ocfg = OptimizationConfig(curve_start_iter=1,
+                                  densify_from_iter=10_000,
+                                  opacity_reset_interval=10_000)
+        results = {}
+        for name, mesh in [("single", None), ("sharded", make_mesh(2))]:
+            st = step_lib.TrainStatics(
+                gcfg=data["gcfg"], mcfg=mcfg, ocfg=ocfg, rcfg=rcfg,
+                cs=data["cs"], sh_degree=1, n_sub=8,
+                tone_mapping="identity", spatial_lr_scale=2.0, mesh=mesh,
+                batched_render=True)
+            state = step_lib.init_state(params, motion_params, aux,
+                                        jax.random.PRNGKey(9))
+            fn = step_lib.make_train_step(st)
+            state, metrics = fn(state, data["gts"][0], jnp.int32(0),
+                                data["proj"])
+            results[name] = (state, metrics)
+        m_s, m_sh = results["single"][1], results["sharded"][1]
+        np.testing.assert_allclose(float(m_sh.loss), float(m_s.loss),
+                                   rtol=1e-4)
+        for a, b in zip(jax.tree.leaves(results["single"][0].params),
+                        jax.tree.leaves(results["sharded"][0].params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-4)
