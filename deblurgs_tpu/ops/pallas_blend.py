@@ -818,13 +818,123 @@ def forward(cfg, prep):
     return C, D, t_fin[:nt, :, 0], ncon
 
 
-def reduce_pair_grads(prep, pair_grads, num_gaussians):
+_REDUCE_IMPL = _os.environ.get("DEBLURGS_REDUCE", "segsum")
+
+
+def _reduce_kernel(w_ref, g_ref, r_ref, out_a, out_b):
+    """Windowed segmented reduction (inverse of :func:`_broadcast_kernel`):
+    each grads chunk's ranks span ≤ 128 consecutive values, so a one-hot
+    [CHUNK, 2·CHUNK] matmul routes its columns into two adjacent 128-rank
+    output blocks (parity-interleaved buffers), accumulated in VMEM."""
+    c = pl.program_id(0)
+    blk = w_ref[c]                       # lower covered 128-rank block
+    base = blk * CHUNK
+
+    @pl.when((c == 0) | (w_ref[jnp.maximum(c - 1, 0)] < blk))
+    def _():
+        # first chunk whose lower block is blk: both bound buffer rows are
+        # fresh (ranks advance ≤1 per slot so blk advances ≤1 per chunk,
+        # and buffer A's row blk was never the previous upper — uppers live
+        # in buffer B)
+        out_a[...] = jnp.zeros((CHUNK, NFIELD), jnp.float32)
+        out_b[...] = jnp.zeros((CHUNK, NFIELD), jnp.float32)
+
+    rel = r_ref[...] - jnp.float32(base)                   # [1, CHUNK]
+    ri = jax.lax.broadcasted_iota(
+        jnp.int32, (CHUNK, CHUNK), 0).astype(jnp.float32)
+    oh_lo = (rel == ri).astype(jnp.float32)                # [CHUNK, CHUNK]
+    oh_hi = (rel == ri + CHUNK).astype(jnp.float32)
+    g = g_ref[...]                                         # [NFIELD, CHUNK]
+    dot = functools.partial(
+        jax.lax.dot_general, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out_a[...] += dot(oh_lo, g)                            # [CHUNK, NFIELD]
+    out_b[...] += dot(oh_hi, g)
+
+
+def _reduce_sorted(pair_gauss, pair_grads, P, *, interpret=False):
+    """Sort grads by compact rank, then windowed-matmul reduce → [P, 16].
+
+    Replaces the unsorted scatter-add lowering of ``segment_sum``: compact
+    ranks 0..n_emit-1 are all present, so after the sort any 128-slot chunk
+    spans ≤ 128 consecutive ranks and routes into two adjacent aligned
+    output blocks."""
+    max_pairs = pair_gauss.shape[0]
+    # sentinel slots (P) sort after all real ranks and land in the padding
+    # block sliced off below
+    key = jnp.minimum(pair_gauss, P).astype(jnp.int32)
+    ops = jax.lax.sort(
+        (key,) + tuple(pair_grads[i] for i in range(10)), num_keys=1,
+        is_stable=False)
+    s_rank = ops[0]
+    # zero sentinel columns: never-visited chunks hold uninitialized HBM
+    # (possibly NaN) and the one-hot matmul would propagate 0·NaN = NaN
+    # into real rows (the scatter-based segment_sum routes by index and is
+    # immune — this path must mask)
+    real = (s_rank < P)[None, :]
+    g_sorted = jnp.stack(
+        [jnp.where(real[0], o, 0.0) for o in ops[1:]]
+        + [jnp.zeros_like(ops[1])] * (NFIELD - 10), axis=0)
+    p_blocks = (P + CHUNK - 1) // CHUNK + 1
+    nc = max_pairs // CHUNK
+    rankf = s_rank.astype(jnp.float32)[None, :]
+    win = jnp.minimum(s_rank[::CHUNK] // CHUNK,
+                      jnp.int32(p_blocks - 1))             # [nc] lower block
+    # parity-free dual buffers: out_a accumulates each chunk's lower-block
+    # rows, out_b the upper; block b's total = a[b] rows written when b was
+    # a lower block, plus b[b] rows written when it was the upper — both
+    # buffers are indexed by the block id itself, so the host just adds.
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((NFIELD, CHUNK), lambda c, w: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHUNK), lambda c, w: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((CHUNK, NFIELD), lambda c, w: (w[c], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, NFIELD),
+                         lambda c, w: (jnp.minimum(w[c] + 1, p_blocks - 1),
+                                       0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    out_a, out_b = pl.pallas_call(
+        functools.partial(_reduce_kernel),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((p_blocks * CHUNK, NFIELD), jnp.float32),
+            jax.ShapeDtypeStruct((p_blocks * CHUNK, NFIELD), jnp.float32),
+        ],
+        interpret=interpret,
+    )(win, g_sorted, rankf)
+    # buffer rows never bound by any chunk hold uninitialized values — mask
+    # by the blocks each buffer actually touched before combining
+    touched_a = jnp.zeros((p_blocks,), jnp.int32).at[win].set(
+        1, mode="drop")
+    touched_b = jnp.zeros((p_blocks,), jnp.int32).at[
+        jnp.minimum(win + 1, p_blocks - 1)].set(1, mode="drop")
+    rep = lambda m: jnp.repeat(m, CHUNK)[:, None] == 1
+    out = (jnp.where(rep(touched_a), out_a, 0.0)
+           + jnp.where(rep(touched_b), out_b, 0.0))
+    return out[:P]
+
+
+def reduce_pair_grads(prep, pair_grads, num_gaussians, interpret=False):
     """Segment-sum pair grads by Gaussian id (deterministic, atomics-free)
     and, on the fused path, scatter the compact sums back to original rows.
     ``pair_grads``: [NFIELD, max_pairs]. Returns [P, NFIELD] sums."""
     P = num_gaussians
-    seg = jnp.minimum(prep.pair_gauss, P)
-    sums = jax.ops.segment_sum(pair_grads.T, seg, num_segments=P + 1)[:P]
+    if _REDUCE_IMPL == "window" and prep.ids is not None:
+        sums = _reduce_sorted(prep.pair_gauss, pair_grads, P,
+                              interpret=interpret)
+    else:
+        seg = jnp.minimum(prep.pair_gauss, P)
+        sums = jax.ops.segment_sum(pair_grads.T, seg,
+                                   num_segments=P + 1)[:P]
     if prep.ids is not None:
         # fused path: pair_gauss holds COMPACT ranks — scatter the compact
         # sums back to original rows (ids is unique on the first n_emit
@@ -914,7 +1024,8 @@ def backward(cfg, prep, num_gaussians, bg,
 
     # chunks past the last tile's stop are never visited (garbage) and all
     # carry the sentinel id P — dropped inside reduce_pair_grads
-    sums = reduce_pair_grads(prep, pair_grads, num_gaussians)
+    sums = reduce_pair_grads(prep, pair_grads, num_gaussians,
+                             interpret=cfg.interpret)
     dm = sums[:, 0:2]
     dc = sums[:, 2:5]
     do = sums[:, 5]

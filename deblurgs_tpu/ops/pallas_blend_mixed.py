@@ -638,7 +638,8 @@ def backward_mixed(cfg, prep: PreparedMixed, num_gaussians, bg,
         interpret=cfg.interpret,
     )(prep.smap, prep.start_pad, prep.fields, dl_e, dl_o, bgd_e, bgd_o)
 
-    sums = base.reduce_pair_grads(prep, pair_grads, num_gaussians)
+    sums = base.reduce_pair_grads(prep, pair_grads, num_gaussians,
+                             interpret=cfg.interpret)
     dm = sums[:, 0:2]
     dc = sums[:, 2:5]
     do = sums[:, 5]

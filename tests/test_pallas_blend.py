@@ -268,3 +268,29 @@ class TestTightRect:
         img_x, _, _ = run(True, backend="xla")
         np.testing.assert_allclose(np.asarray(img_t), np.asarray(img_x),
                                    atol=1e-4)
+
+
+def test_windowed_grad_reduce_matches_segment_sum():
+    """DEBLURGS_REDUCE=window path: sort-by-rank + one-hot matmul reduction
+    equals segment_sum (compact ranks are consecutive, so chunks span ≤128
+    consecutive ranks); NaN garbage in sentinel slots must not leak."""
+    from deblurgs_tpu.ops import pallas_blend as pb
+
+    for seed, n_emit, P, mp in [(0, 37, 300, 1024), (3, 555, 4000, 4096)]:
+        key = jax.random.PRNGKey(seed)
+        counts = jax.random.randint(key, (n_emit,), 1, 40)
+        total = min(int(counts.sum()), mp)
+        ranks = jnp.repeat(jnp.arange(n_emit), counts,
+                           total_repeat_length=mp)
+        pg = jnp.where(jnp.arange(mp) < total, ranks, P).astype(jnp.int32)
+        grads = jax.random.normal(jax.random.PRNGKey(1), (16, mp))
+        grads = grads.at[10:].set(0.0)  # rows 10-15 structurally zero
+        grads = jnp.where((jnp.arange(mp) < total)[None, :], grads, jnp.nan)
+        ref = jax.ops.segment_sum(
+            jnp.where((pg < P)[:, None], grads.T, 0.0),
+            jnp.minimum(pg, P), num_segments=P + 1)[:P]
+        got = pb._reduce_sorted(pg, grads, P, interpret=True)
+        np.testing.assert_allclose(np.asarray(got)[:n_emit, :10],
+                                   np.asarray(ref)[:n_emit, :10],
+                                   atol=2e-5, rtol=1e-5)
+        assert not np.isnan(np.asarray(got)[:n_emit]).any()
