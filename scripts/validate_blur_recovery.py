@@ -55,6 +55,10 @@ def main():
                     help="blurry-fit baseline: never enable the camera "
                          "curve (sharp 3DGS trained against blurry GT)")
     ap.add_argument("--curve_start", type=int, default=100)
+    ap.add_argument("--curve_end_frac", type=float, default=1.0,
+                    help="freeze curves at this fraction of iters and "
+                         "polish the scene sharp (reference phase: "
+                         "curve_end_iter=100k/150k ≈ 0.67)")
     ap.add_argument("--opacity_reset", type=int, default=10_000_000)
     ap.add_argument("--capacity_mult", type=int, default=4)
     ap.add_argument("--report", type=str, default=None,
@@ -218,6 +222,7 @@ def main():
     curve_start = (10**9 if args.no_curve else args.curve_start)
     ocfg = OptimizationConfig(
         iterations=args.iters, curve_start_iter=curve_start,
+        curve_end_iter=int(args.iters * args.curve_end_frac) + 1,
         densify_from_iter=(10**9 if (args.freeze_scene or args.no_densify)
                            else 500),
         densification_interval=200,
