@@ -81,6 +81,10 @@ class ModelParams(ParamGroup):
         self.tight_rect = True        # 1/255-ellipse AABB emission rects
         self.batched_render = False   # all sub-frames in ONE rasterizer
                                       # launch (requires kernel_layout=mixed)
+        self.cams_per_step = 1        # B training cameras per step: every
+                                      # batched camera's curve gets a fresh
+                                      # Adam update each step (the reference
+                                      # visits one random camera per iter)
 
         super().__init__(parser, "Loading Parameters", sentinel)
 

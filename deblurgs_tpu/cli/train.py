@@ -100,6 +100,7 @@ def main(argv=None):
         checkpoint_iterations=tuple(args.checkpoint_iterations),
         debug=args.debug,
         batched_render=lpe.batched_render,
+        cams_per_step=lpe.cams_per_step,
     )
     state, first_iter = trainer.init_state(
         key=jax.random.PRNGKey(args.seed),

@@ -113,6 +113,9 @@ class Trainer:
                            # diff_gaussian_rasterization/__init__.py:92-99)
     batched_render: bool = False  # all sub-frames in ONE rasterizer launch
                            # (render_batch; pallas mixed layout)
+    cams_per_step: int = 1 # B training cameras per step (train/step.py —
+                           # every batched camera's curve takes a fresh Adam
+                           # step each iteration; B·n_sub views per launch)
 
     def __post_init__(self):
         self._step_cache: dict = {}
@@ -155,6 +158,7 @@ class Trainer:
                                          False),
                 mesh=mesh,
                 batched_render=self.batched_render,
+                cams_per_step=self.cams_per_step,
             )
             self._step_cache[key] = step_lib.make_train_step(st)
         return self._step_cache[key]
@@ -216,14 +220,27 @@ class Trainer:
             fn = self._get_step(sh_degree, n_sub, random_sample,
                                 capacity, rcfg, mesh)
 
-            cam_idx = self.scene.get_random_cam_idx()
+            if self.cams_per_step == 1:
+                cam_idx = self.scene.get_random_cam_idx()
+                sel = jnp.int32(cam_idx)
+            else:
+                # B draws from the epoch-shuffled viewpoint stack (the
+                # reference pops one per iteration, train.py:118-124)
+                cam_idx = [self.scene.get_random_cam_idx()
+                           for _ in range(self.cams_per_step)]
+                sel = jnp.asarray(cam_idx, jnp.int32)
             if jax.process_count() > 1:
                 from deblurgs_tpu.parallel import multihost
 
-                gt = multihost.select_camera(self._gts, jnp.int32(cam_idx))
+                if self.cams_per_step == 1:
+                    gt = multihost.select_camera(self._gts, sel)
+                else:
+                    gt = jnp.stack([
+                        multihost.select_camera(self._gts, jnp.int32(c))
+                        for c in cam_idx])
             else:
-                gt = self._gts[cam_idx]
-            state, metrics = fn(state, gt, jnp.int32(cam_idx), self._proj)
+                gt = self._gts[sel]
+            state, metrics = fn(state, gt, sel, self._proj)
 
             # Host syncs are expensive (a full device round trip each);
             # metrics stay on device and are drained in batches.

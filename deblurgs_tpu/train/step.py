@@ -67,6 +67,19 @@ class TrainStatics:
     batched_render: bool = False  # ONE rasterizer launch for all sub-frames
                                # (render_batch; pallas mixed layout —
                                # rcfg.max_pairs must budget n_sub views)
+    cams_per_step: int = 1     # B training cameras per step. The reference
+                               # samples ONE random camera per iteration
+                               # (train.py:118-124) — sequential-visit SGD;
+                               # with B>1 the step takes gt [B,H,W,3] /
+                               # cam_idx [B] and renders B·n_sub views in
+                               # one launch, so EVERY batched camera's curve
+                               # receives a fresh Adam update each step (no
+                               # stale-momentum drift between a camera's
+                               # visits, and the scene cannot absorb one
+                               # camera's wrong-curve blur while the others
+                               # wait their turn). TPU-idiomatic: the view
+                               # batch fills the tile grid that a single
+                               # small image leaves idle.
 
 
 class StepMetrics(NamedTuple):
@@ -98,23 +111,37 @@ def init_state(params, motion_params, aux, key) -> TrainState:
 
 def train_step(state: TrainState, gt_image: jax.Array, cam_idx: jax.Array,
                proj: jax.Array, st: TrainStatics):
-    """One optimization step. ``gt_image``: [H, W, 3]; ``cam_idx``: [] int32."""
+    """One optimization step. ``gt_image``: [H, W, 3]; ``cam_idx``: [] int32.
+
+    With ``st.cams_per_step == B > 1``: ``gt_image`` [B, H, W, 3],
+    ``cam_idx`` [B] int32 — the loss is the mean over B independent blurry
+    observations and B·n_sub views render in one pass.
+    """
     ocfg, gcfg, mcfg = st.ocfg, st.gcfg, st.mcfg
+    B = st.cams_per_step
+    n_views = B * st.n_sub
+    if B == 1:
+        gt_image = gt_image[None]
+        cam_idx = jnp.reshape(cam_idx, (1,))
     step = state.step
     rng, k_nu, k_bg, k_noise, k_densify = jax.random.split(state.rng, 5)
 
     # --- sub-frame times (phase-dependent; reference train.py:126-130)
     if st.n_sub == 1:
-        nu = jnp.zeros((1,), jnp.float32)
+        nu = jnp.zeros((B, 1), jnp.float32)
+    elif st.random_sample:
+        nu = jax.vmap(
+            lambda i, k: motion_lib.sample_nu(state.motion, i, mcfg, key=k)
+        )(cam_idx, jax.random.split(k_nu, B))
     else:
-        nu = motion_lib.sample_nu(
-            state.motion, cam_idx, mcfg, key=k_nu if st.random_sample else None
-        )
+        nu = jax.vmap(
+            lambda i: motion_lib.sample_nu(state.motion, i, mcfg)
+        )(cam_idx)
 
     bg = jax.random.uniform(k_bg, (3,))
 
     # --- loss over (params, motion, vsp)
-    vsp0 = jnp.zeros((st.n_sub, state.params.xyz.shape[0], 2), jnp.float32)
+    vsp0 = jnp.zeros((n_views, state.params.xyz.shape[0], 2), jnp.float32)
     gt_linear = tonemap.tone_map(gt_image, tonemap.inverse_kind(st.tone_mapping))
     noise = schedules.expon_lr(step, ocfg.noise_init, ocfg.noise_final,
                                max_steps=ocfg.iterations)
@@ -127,7 +154,12 @@ def train_step(state: TrainState, gt_image: jax.Array, cam_idx: jax.Array,
 
     def loss_fn(params, motion_params, vsp):
         rin = gm.render_inputs(params, gcfg)
-        cams = motion_lib.subframe_cameras(motion_params, cam_idx, nu, proj, mcfg)
+        cams_b = jax.vmap(
+            lambda i, nu_i: motion_lib.subframe_cameras(
+                motion_params, i, nu_i, proj, mcfg)
+        )(cam_idx, nu)                                 # leaves [B, n_sub, …]
+        cams = jax.tree.map(
+            lambda x: x.reshape((n_views,) + x.shape[2:]), cams_b)
         replicated = (rin, state.aux.active, bg)
 
         def one(rep, args):
@@ -145,8 +177,8 @@ def train_step(state: TrainState, gt_image: jax.Array, cam_idx: jax.Array,
         if st.mesh is not None:
             # sub-frames shard across the mesh; each device renders its
             # block — batched into one launch, or mapped sequentially
-            assert st.n_sub % st.mesh.size == 0, (
-                f"n_sub={st.n_sub} must divide over {st.mesh.size} devices")
+            assert n_views % st.mesh.size == 0, (
+                f"n_views={n_views} must divide over {st.mesh.size} devices")
             if st.batched_render:
                 def block(rep, cams_l, vsp_l):
                     rin_r, active_r, bg_r = rep
@@ -184,10 +216,14 @@ def train_step(state: TrainState, gt_image: jax.Array, cam_idx: jax.Array,
             images, depths, radii, num_pairs, max_per_tile = jax.lax.map(
                 lambda args: one(replicated, args), (cams, vsp)
             )
-        blurred = jnp.mean(images, axis=0)
+        images_b = images.reshape((B, st.n_sub) + images.shape[1:])
+        blurred = jnp.mean(images_b, axis=1)               # [B, H, W, 3]
 
         l1 = losses.l1_loss(blurred, gt_linear)
-        t_smooth = losses.batchwise_smoothness_loss(images)
+        # temporal smoothness is per-camera (consecutive sub-frames of ONE
+        # exposure), then averaged over the camera batch
+        t_smooth = jnp.mean(
+            jax.vmap(losses.batchwise_smoothness_loss)(images_b))
         depth_tv = (losses.tv_loss(depths)
                     if ocfg.lambda_depth_tv > 0.0 else jnp.zeros(()))
         # hinge over *active* raw opacities; mean over active count
@@ -246,9 +282,15 @@ def train_step(state: TrainState, gt_image: jax.Array, cam_idx: jax.Array,
     # accumulated from this step's grads BEFORE any event or Adam step)
     aux = state.aux
     do_stats = step < ocfg.densify_until_iter
-    vis = radii > 0                                              # [n_sub, P]
-    norm = jnp.linalg.norm(g_vsp, axis=-1)                       # [n_sub, P]
+    vis = radii > 0                                             # [n_views, P]
+    # the loss averages over B cameras, scaling each view's vsp cotangent by
+    # 1/B — undo it so the accumulated statistic keeps the reference's
+    # per-camera-visit magnitude (train.py:189-199) and the annealed
+    # densify threshold means the same thing at any B
+    norm = jnp.linalg.norm(g_vsp, axis=-1) * B                  # [n_views, P]
     accum_inc = jnp.sum(jnp.where(vis, norm, 0.0), axis=0)
+    # Σ_b Σ_f vis/f — each camera in the batch contributes its reference
+    # visible_count/f, so denom advances B× faster, matching accum
     denom_inc = jnp.sum(vis, axis=0).astype(jnp.float32) / st.n_sub
     radii_max = jnp.max(jnp.where(vis, radii, 0), axis=0).astype(jnp.float32)
     aux = aux._replace(

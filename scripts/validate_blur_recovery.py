@@ -60,6 +60,8 @@ def main():
                          "polish the scene sharp (reference phase: "
                          "curve_end_iter=100k/150k ≈ 0.67)")
     ap.add_argument("--opacity_reset", type=int, default=10_000_000)
+    ap.add_argument("--densify_from", type=int, default=500)
+    ap.add_argument("--densify_interval", type=int, default=200)
     ap.add_argument("--capacity_mult", type=int, default=4)
     ap.add_argument("--report", type=str, default=None,
                     help="write a JSON result line to this path")
@@ -72,6 +74,10 @@ def main():
                          "views)")
     ap.add_argument("--layout", type=str, default="lockstep",
                     choices=["lockstep", "mixed"])
+    ap.add_argument("--cams_per_step", type=int, default=1,
+                    help="B training cameras per step (every batched "
+                         "camera's curve gets a fresh Adam update each "
+                         "step; B*n_sub views render per step)")
     ap.add_argument("--window", type=int, default=1)
     ap.add_argument("--pos_lr", type=float, default=0.00016,
                     help="xyz LR init (reference default)")
@@ -224,8 +230,8 @@ def main():
         iterations=args.iters, curve_start_iter=curve_start,
         curve_end_iter=int(args.iters * args.curve_end_frac) + 1,
         densify_from_iter=(10**9 if (args.freeze_scene or args.no_densify)
-                           else 500),
-        densification_interval=200,
+                           else args.densify_from),
+        densification_interval=args.densify_interval,
         densify_until_iter=int(args.iters * 0.7),
         opacity_reset_interval=args.opacity_reset,
         curve_controlpoints_lr=1e-2 * args.curve_lr_mult,
@@ -278,7 +284,8 @@ def main():
                 gcfg=gcfg, mcfg=mcfg, ocfg=ocfg, rcfg=rcfg, cs=cs,
                 sh_degree=sh_degree, n_sub=n_sub, tone_mapping="identity",
                 spatial_lr_scale=2.0, random_sample=args.random_sample,
-                batched_render=args.batched)
+                batched_render=args.batched,
+                cams_per_step=args.cams_per_step)
             step_cache[key] = step_lib.make_train_step(st)
         return step_cache[key]
 
@@ -309,8 +316,14 @@ def main():
         sh_deg = min(it // 1000, gcfg.sh_degree)
         n_sub = args.n_sub if it >= ocfg.curve_start_iter else 1
         fn = get_step(sh_deg, n_sub)
-        idx = (it - 1) % args.n_cams
-        state, metrics = fn(state, blur_gts[idx], jnp.int32(idx), proj)
+        B = args.cams_per_step
+        if B == 1:
+            idx = (it - 1) % args.n_cams
+            state, metrics = fn(state, blur_gts[idx], jnp.int32(idx), proj)
+        else:
+            sel = (np.arange(B) + (it - 1) * B) % args.n_cams
+            sel = jnp.asarray(sel, jnp.int32)
+            state, metrics = fn(state, blur_gts[sel], sel, proj)
         if it % 200 == 0 or it == args.iters:
             tr_err = traj_error(state.motion)
             print(f"it {it}: blur-l1={float(metrics.l1):.4f} "

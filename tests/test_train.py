@@ -405,3 +405,100 @@ class TestBatchedRenderStep:
         np.testing.assert_allclose(np.asarray(s_b.aux.xyz_grad_accum),
                                    np.asarray(s_l.aux.xyz_grad_accum),
                                    atol=1e-5)
+
+
+class TestCameraBatchedStep:
+    """``cams_per_step=B``: the batched step is the mean of B per-camera
+    losses, so its pieces must decompose exactly against B=1 steps run from
+    the SAME state (same rng ⇒ same bg draw; noise disabled because its
+    draw depends on the gt batch shape)."""
+
+    def _setup(self):
+        data = build_synthetic(jax.random.PRNGKey(40), n_cams=4)
+        gcfg, rcfg = data["gcfg"], data["rcfg"]
+        params, aux = gm.create_from_pcd(data["pts"], data["cols"], gcfg,
+                                         capacity=64)
+        mcfg = motion_lib.MotionConfig(curve_order=3, n_subframes=3)
+        motion_params = motion_lib.init_motion(data["rots"], data["centers"],
+                                               mcfg, jax.random.PRNGKey(41),
+                                               init_noise=0.01)
+        ocfg = OptimizationConfig(
+            iterations=10_000, curve_start_iter=1, curve_end_iter=10_000,
+            densify_from_iter=10_000, opacity_reset_interval=100_000,
+        )
+        st1 = step_lib.TrainStatics(
+            gcfg=gcfg, mcfg=mcfg, ocfg=ocfg, rcfg=rcfg, cs=data["cs"],
+            sh_degree=1, n_sub=3, tone_mapping="identity",
+            spatial_lr_scale=2.0)
+        state = step_lib.init_state(params, motion_params, aux,
+                                    jax.random.PRNGKey(42))
+        return data, st1, state
+
+    def test_batched_step_decomposes(self):
+        import dataclasses as dc
+
+        data, st1, state = self._setup()
+        st2 = dc.replace(st1, cams_per_step=2)
+        fn1 = step_lib.make_train_step(st1)
+        fn2 = step_lib.make_train_step(st2)
+
+        s0, m0 = fn1(state, data["gts"][0], jnp.int32(0), data["proj"])
+        s1, m1 = fn1(state, data["gts"][1], jnp.int32(1), data["proj"])
+        sel = jnp.array([0, 1], jnp.int32)
+        sB, mB = fn2(state, data["gts"][sel], sel, data["proj"])
+
+        # loss pieces decompose as means / sums
+        np.testing.assert_allclose(float(mB.l1),
+                                   (float(m0.l1) + float(m1.l1)) / 2,
+                                   rtol=1e-5)
+        np.testing.assert_allclose(
+            float(mB.t_smooth),
+            (float(m0.t_smooth) + float(m1.t_smooth)) / 2, rtol=1e-4)
+
+        # densify statistics keep per-camera-visit magnitude: the batched
+        # accum/denom increments are the SUM of the per-camera increments
+        init_accum = np.asarray(state.aux.xyz_grad_accum)
+        incB = np.asarray(sB.aux.xyz_grad_accum) - init_accum
+        inc0 = np.asarray(s0.aux.xyz_grad_accum) - init_accum
+        inc1 = np.asarray(s1.aux.xyz_grad_accum) - init_accum
+        np.testing.assert_allclose(incB, inc0 + inc1, rtol=1e-4, atol=1e-9)
+        init_den = np.asarray(state.aux.denom)
+        np.testing.assert_allclose(
+            np.asarray(sB.aux.denom) - init_den,
+            (np.asarray(s0.aux.denom) - init_den)
+            + (np.asarray(s1.aux.denom) - init_den), rtol=1e-6)
+
+        # Adam's first step is gradient-scale invariant (m̂/√v̂ = sign·1), so
+        # each camera's motion update in the batch matches its solo update
+        d_solo = (np.asarray(s0.motion.trans_ctrl)
+                  - np.asarray(state.motion.trans_ctrl))[0]
+        d_batch = (np.asarray(sB.motion.trans_ctrl)
+                   - np.asarray(state.motion.trans_ctrl))[0]
+        np.testing.assert_allclose(d_batch, d_solo, rtol=1e-3, atol=1e-9)
+
+    def test_batched_matches_single_when_duplicated(self):
+        """B=2 with the SAME camera twice == B=1 on that camera (the mean
+        over the batch is a no-op), including the gaussian Adam step."""
+        import dataclasses as dc
+
+        data, st1, state = self._setup()
+        st2 = dc.replace(st1, cams_per_step=2)
+        fn1 = step_lib.make_train_step(st1)
+        fn2 = step_lib.make_train_step(st2)
+
+        s0, m0 = fn1(state, data["gts"][0], jnp.int32(0), data["proj"])
+        sel = jnp.array([0, 0], jnp.int32)
+        sB, mB = fn2(state, data["gts"][sel], sel, data["proj"])
+
+        np.testing.assert_allclose(float(mB.loss), float(m0.loss), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(sB.params.xyz),
+                                   np.asarray(s0.params.xyz), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sB.motion.trans_ctrl),
+                                   np.asarray(s0.motion.trans_ctrl),
+                                   atol=1e-6)
+        # duplicated camera double-counts the densify stats by design
+        init_accum = np.asarray(state.aux.xyz_grad_accum)
+        np.testing.assert_allclose(
+            np.asarray(sB.aux.xyz_grad_accum) - init_accum,
+            2 * (np.asarray(s0.aux.xyz_grad_accum) - init_accum),
+            rtol=1e-4, atol=1e-9)
