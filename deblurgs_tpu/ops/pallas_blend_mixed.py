@@ -190,9 +190,11 @@ def _seg_structure(trow):
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)               # [1, CHUNK]
     seg_end = segrow != _shift_left(segrow)
-    # segment ids as a column (bf16-exact values ≤ 128)
+    # segment ids as a column. f32 operands: Mosaic's verifier rejects the
+    # bf16-in/f32-out lowering of this [CHUNK,CHUNK]@[1,CHUNK] contraction
+    # (vector.broadcast bf16->f32), and the matmul is tiny anyway.
     segcol = jax.lax.dot_general(
-        _eye(CHUNK, jnp.bfloat16), segrow.astype(jnp.bfloat16),
+        _eye(CHUNK, jnp.float32), segrow,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)               # [CHUNK, 1]
     same = segcol == segrow                               # [CHUNK, CHUNK]
