@@ -158,15 +158,20 @@ def _grid_size(prep: PreparedMixed):
 
 
 def _shift_left(x):
-    """x[:, j] <- x[:, j+1] (0-fill at the last lane)."""
-    return jnp.concatenate(
-        [x[:, 1:], jnp.zeros((x.shape[0], 1), x.dtype)], axis=1)
+    """x[:, j] <- x[:, j+1] (0-fill at the last lane).
+
+    Lane rotate + iota mask: Mosaic rejects the concatenate-of-slices
+    formulation ("result/input offset mismatch on non-concat dimension")."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane == x.shape[1] - 1, jnp.zeros((), x.dtype),
+                     pltpu.roll(x, x.shape[1] - 1, 1))
 
 
 def _shift_right(x, fill):
     """x[:, j] <- x[:, j-1] (fill at lane 0)."""
-    return jnp.concatenate(
-        [jnp.full((x.shape[0], 1), fill, x.dtype), x[:, :-1]], axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane == 0, jnp.asarray(fill, x.dtype),
+                     pltpu.roll(x, 1, 1))
 
 
 def _eye(n, dtype=jnp.float32):
@@ -180,13 +185,16 @@ def _seg_structure(trow):
 
     Returns (segrow [1, CHUNK] small-int f32 segment ids, seg_end [1, CHUNK]
     bool, M2ex / M2in [CHUNK, CHUNK] f32 segmented strict/inclusive
-    lower-prefix masks). Segment ids are ≤ CHUNK so every matmul stays
-    bf16-exact."""
+    lower-prefix masks). Segment ids are ≤ CHUNK, exactly representable in
+    f32; the two structure matmuls here run with f32 operands because
+    Mosaic rejects their bf16-in/f32-out lowerings (single-row lhs /
+    vector.broadcast), and both are tiny next to the [PX, CHUNK] passes.
+    The data-path prefix products in :func:`_prefix_masked` keep the
+    double-bfloat16 MXU split."""
     boundary = (trow != _shift_right(trow, -1.0)).astype(jnp.float32)
     # inclusive row prefix of boundary -> segment index (1..CHUNK)
     segrow = jax.lax.dot_general(
-        boundary.astype(jnp.bfloat16),
-        base._utri(False).astype(jnp.bfloat16),
+        boundary, base._utri(False),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)               # [1, CHUNK]
     seg_end = segrow != _shift_left(segrow)
