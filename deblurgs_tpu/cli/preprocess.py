@@ -29,6 +29,11 @@ def main(argv=None):
                         choices=["exhaustive", "sequential", "spatial",
                                  "transitive", "vocab_tree"])
     parser.add_argument("--focal_length", type=float, default=None)
+    parser.add_argument("--mask_path", type=str, default=None,
+                        help="folder of per-image masks: black = keep for "
+                             "COLMAP features (reference move_mask)")
+    parser.add_argument("--reverse_mask", action="store_true",
+                        help="invert the mask keep/ignore convention")
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
 
     from deblurgs_tpu.tools import colmap_pipeline as cp
@@ -45,6 +50,11 @@ def main(argv=None):
             shutil.copytree(args.images, images_dir, dirs_exist_ok=True)
     else:
         parser.error("one of --video / --images is required")
+
+    if args.mask_path:
+        cp.prepare_masks(args.result_path, args.mask_path,
+                         reverse=args.reverse_mask)
+        print("masks staged (masks/ + colmap_masks/)")
 
     cp.run_colmap(args.result_path, camera_model=args.camera_model,
                   matcher=args.colmap_matcher,

@@ -92,9 +92,18 @@ class LPIPS:
         self.arch = LPIPS_ARCHS[net_type]
         self.net_type = net_type
 
+    #: packaged default — drop the output of
+    #: ``scripts/convert_lpips_weights.py`` here and eval picks it up with
+    #: no flag or env var (this build environment has no network egress,
+    #: so the converted file cannot ship pre-baked; see README)
+    DEFAULT_WEIGHTS = os.path.join(os.path.dirname(__file__),
+                                   "lpips_weights.npz")
+
     @classmethod
     def from_file(cls, path: str | None = None, net_type: str | None = None):
-        path = path or os.environ.get("LPIPS_WEIGHTS", "")
+        path = (path or os.environ.get("LPIPS_WEIGHTS", "")
+                or (cls.DEFAULT_WEIGHTS
+                    if os.path.exists(cls.DEFAULT_WEIGHTS) else ""))
         if not path or not os.path.exists(path):
             return None
         with np.load(path) as d:

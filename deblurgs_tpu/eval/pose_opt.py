@@ -24,13 +24,59 @@ from deblurgs_tpu.models import gaussians as gm
 from deblurgs_tpu.models import tonemap as tm
 from deblurgs_tpu.models.motion import _rotmat_to_quat
 from deblurgs_tpu.ops.rasterize import render
-from deblurgs_tpu.train import optim
 from deblurgs_tpu.train.losses import l1_loss
 
 
 class PoseParams(NamedTuple):
     quat: jax.Array    # [n, 4] (w,x,y,z) — c2w rotation
     trans: jax.Array   # [n, 3] — w2c translation
+
+
+class PerViewAdamState(NamedTuple):
+    """Per-view Adam: the reference gives each test view its OWN optimizer
+    (``test.py:157-184``), so a step for view *i* must leave every other
+    view's moments, step count and params bit-identical. Moments are shaped
+    like PoseParams ([n, ...]); ``step`` is [n] int32."""
+
+    mu: PoseParams
+    nu: PoseParams
+    step: jax.Array
+
+
+def init_per_view_adam(pose: PoseParams) -> PerViewAdamState:
+    z = jax.tree.map(jnp.zeros_like, pose)
+    n = pose.quat.shape[0]
+    return PerViewAdamState(mu=z, nu=jax.tree.map(jnp.zeros_like, pose),
+                            step=jnp.zeros((n,), jnp.int32))
+
+
+def per_view_adam_update(pose: PoseParams, grads: PoseParams,
+                         state: PerViewAdamState, idx, lr: PoseParams,
+                         *, b1: float = 0.9, b2: float = 0.999,
+                         eps: float = 1e-15):
+    """Adam step on row ``idx`` only (torch per-view optimizer semantics:
+    reference Adam eps 1e-15, bias correction by this view's own count)."""
+    t = (state.step[idx] + 1).astype(jnp.float32)
+
+    def row(p, g, mu, nu, lr_i):
+        mu2 = b1 * mu[idx] + (1 - b1) * g[idx]
+        nu2 = b2 * nu[idx] + (1 - b2) * (g[idx] * g[idx])
+        mu_hat = mu2 / (1 - b1**t)
+        nu_hat = nu2 / (1 - b2**t)
+        upd = jnp.asarray(lr_i, p.dtype) * mu_hat / (jnp.sqrt(nu_hat) + eps)
+        return (p.at[idx].add(-upd), mu.at[idx].set(mu2),
+                nu.at[idx].set(nu2))
+
+    leaves = [row(*args) for args in zip(
+        jax.tree.leaves(pose), jax.tree.leaves(grads),
+        jax.tree.leaves(state.mu), jax.tree.leaves(state.nu),
+        jax.tree.leaves(lr))]
+    treedef = jax.tree.structure(pose)
+    new_pose = jax.tree.unflatten(treedef, [l[0] for l in leaves])
+    new_mu = jax.tree.unflatten(treedef, [l[1] for l in leaves])
+    new_nu = jax.tree.unflatten(treedef, [l[2] for l in leaves])
+    return new_pose, PerViewAdamState(
+        mu=new_mu, nu=new_nu, step=state.step.at[idx].add(1))
 
 
 def init_pose_params(rotations: jax.Array, translations: jax.Array) -> PoseParams:
@@ -66,7 +112,7 @@ def optimize_test_poses(
     """Refine all test poses; returns the optimized PoseParams."""
     pose = init_pose_params(jnp.asarray(rotations, jnp.float32),
                             jnp.asarray(translations, jnp.float32))
-    state = optim.init(pose)
+    state = init_per_view_adam(pose)
     rin = gm.render_inputs(session.params, session.gcfg)
     cs = session.scene.camera_static
     n = pose.quat.shape[0]
@@ -87,7 +133,7 @@ def optimize_test_poses(
     def step(pose, state, idx, gt, lr_scale):
         (loss, img), g = grad_fn(pose, idx, gt)
         lr = PoseParams(quat=lr_rot * lr_scale, trans=lr_trans * lr_scale)
-        pose, state = optim.update(pose, g, state, lr)
+        pose, state = per_view_adam_update(pose, g, state, idx, lr)
         mse = jnp.mean((img - gt) ** 2)
         return pose, state, loss, mse
 

@@ -209,16 +209,87 @@ def initialize_test_pose(session, model_path: str,
     return sorted(infos, key=lambda c: c.image_name)
 
 
+def prepare_masks(result_path: str, mask_path: str, reverse: bool = False):
+    """Stage user masks for training and COLMAP (reference ``move_mask``,
+    ``run_colmap.py:297-339``).
+
+    Copies the mask images to ``<result>/masks/`` (consumed at train time
+    as per-camera alpha masks) and derives COLMAP feature-extraction masks
+    in ``<result>/colmap_masks/``: the reference keeps features where the
+    user mask is BLACK (``sum(mask, -1) == 0`` → 255) and ignores them
+    elsewhere; ``reverse`` flips that. COLMAP looks the mask up as
+    ``<image filename>.png``, so names follow the actual files in
+    ``images/`` (the reference hardcodes ``{i:05d}.jpg.png``, which only
+    matches its own jpg writer)."""
+    import numpy as np
+    from PIL import Image
+
+    images_dir = os.path.join(result_path, "images")
+    image_names = sorted(os.listdir(images_dir))
+    mask_names = sorted(os.listdir(mask_path))
+    if len(mask_names) != len(image_names):
+        raise ValueError(
+            f"{len(mask_names)} masks in {mask_path} for "
+            f"{len(image_names)} images in {images_dir}")
+    mask_write = os.path.join(result_path, "masks")
+    colmap_write = os.path.join(result_path, "colmap_masks")
+    os.makedirs(mask_write, exist_ok=True)
+    os.makedirs(colmap_write, exist_ok=True)
+    for img_name, m_name in zip(image_names, mask_names):
+        mask_img = Image.open(os.path.join(mask_path, m_name)).convert("RGB")
+        mask_img.save(os.path.join(mask_write, m_name))
+        with Image.open(os.path.join(images_dir, img_name)) as im:
+            w, h = im.size
+        arr = np.asarray(mask_img.resize((w, h), Image.NEAREST))
+        keep = (arr.sum(axis=-1) == 0).astype(np.uint8) * 255
+        if reverse:
+            keep = 255 - keep
+        Image.fromarray(keep, mode="L").save(
+            os.path.join(colmap_write, img_name + ".png"))
+    return mask_write, colmap_write
+
+
+def reorder_images_txt(datadir: str, database_filename: str = "database.db",
+                       sparse_dirname: str = "sparse_txt"):
+    """Rewrite ``images.txt`` rows in database image-id order (standalone
+    equivalent of reference ``utils/colmap_reoder.py``; the original is
+    also kept in the old file's location semantics: the unsorted file is
+    preserved as ``images_sorted.txt``)."""
+    db_path = os.path.join(datadir, database_filename)
+    images_txt = os.path.join(datadir, sparse_dirname, "images.txt")
+    rows = read_db_images(db_path)                       # [(id, name), ...]
+    with open(images_txt) as fp:
+        entries = [l for l in fp.read().splitlines() if l.strip()]
+    by_name = {}
+    for line in entries:
+        if line.startswith("#"):
+            continue
+        by_name[line.split(" ")[-1]] = line
+    shutil.move(images_txt,
+                images_txt.replace("images.txt", "images_sorted.txt"))
+    with open(images_txt, "w") as fp:
+        for img_id, name in rows:
+            line = by_name.get(name)
+            if line is None:
+                continue
+            _, rest = line.split(" ", 1)
+            fp.write(f"{img_id} {rest}\n")
+    return images_txt
+
+
 def run_colmap(result_path: str, camera_model: str = "OPENCV",
                matcher: str = "exhaustive", focal_length: float | None = None,
                refine_extra: bool | None = None):
     """Field-capture reconstruction (reference ``run_colmap`` command chain
-    with its loosened mapper thresholds)."""
+    with its loosened mapper thresholds). If ``<result>/colmap_masks/``
+    exists (see :func:`prepare_masks`) it feeds feature extraction
+    (reference ``run_colmap.py:220-221``)."""
     _require_colmap()
     db = os.path.join(result_path, "database.db")
     images = os.path.join(result_path, "images")
     sparse = os.path.join(result_path, "sparse")
     text = os.path.join(result_path, "sparse_txt")
+    mask = os.path.join(result_path, "colmap_masks")
     if os.path.exists(db):
         os.remove(db)
 
@@ -226,6 +297,8 @@ def run_colmap(result_path: str, camera_model: str = "OPENCV",
     refine_extra = int("PINHOLE" not in camera_model
                        if refine_extra is None else refine_extra)
     extract_extra = "--SiftExtraction.max_num_features 8192 "
+    if os.path.isdir(mask):
+        extract_extra += f"--ImageReader.mask_path {mask} "
     do_system(
         "colmap feature_extractor "
         f"--ImageReader.camera_model {camera_model} "

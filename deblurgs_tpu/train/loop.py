@@ -266,7 +266,18 @@ class Trainer:
                         raise FloatingPointError(
                             f"non-finite loss {float(m.loss)} at iteration "
                             f"{it_p} (cam {cam_p}) — state dumped to {snap}")
-                    # ---- capacity management (host-side re-jit triggers)
+                    # ---- capacity management (host-side re-jit triggers).
+                    # Pre-grow when the active count nears capacity so the
+                    # next densify event has headroom — insertions dropped
+                    # for lack of slots are lost, not retried (the reactive
+                    # n_dropped path below still catches a burst that
+                    # outruns the heuristic within one drain window).
+                    cap_now = state.params.xyz.shape[0]
+                    if int(m.num_active) > 0.9 * cap_now:
+                        print(f"[capacity] → {cap_now * 2} (pre-grow: "
+                              f"{int(m.num_active)} active > 90% of "
+                              f"{cap_now})")
+                        state = grow_capacity(state, cap_now * 2)
                     if int(m.densify.n_dropped) > 0:
                         new_cap = state.params.xyz.shape[0] * 2
                         print(f"[capacity] → {new_cap} "

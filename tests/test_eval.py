@@ -100,6 +100,41 @@ class TestPoseOpt:
         loss_after = float(l1_loss(img1, gt))
         assert loss_after < 0.7 * loss_before, (loss_before, loss_after)
 
+    def test_per_view_adam_isolates_views(self):
+        """Reference semantics (test.py:157-184): each view has its OWN
+        optimizer — stepping view 0 must leave view 1's pose, moments and
+        step count bit-identical, and a later step of view 1 must
+        bias-correct by view 1's own count, not a shared one."""
+        from deblurgs_tpu.eval.pose_opt import (
+            PoseParams, init_per_view_adam, per_view_adam_update,
+        )
+
+        pose = PoseParams(quat=jnp.arange(8, dtype=jnp.float32).reshape(2, 4),
+                          trans=jnp.ones((2, 3), jnp.float32))
+        st = init_per_view_adam(pose)
+        g = PoseParams(quat=jnp.full((2, 4), 0.3, jnp.float32),
+                       trans=jnp.full((2, 3), -0.7, jnp.float32))
+        lr = PoseParams(quat=1e-2, trans=1e-1)
+
+        p1, st1 = per_view_adam_update(pose, g, st, 0, lr)
+        p2, st2 = per_view_adam_update(p1, g, st1, 0, lr)
+        for leaf0, leaf2 in zip(jax.tree.leaves(pose), jax.tree.leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(leaf0[1]),
+                                          np.asarray(leaf2[1]))
+        for m0, m2 in zip(jax.tree.leaves(st.mu), jax.tree.leaves(st2.mu)):
+            np.testing.assert_array_equal(np.asarray(m0[1]),
+                                          np.asarray(m2[1]))
+        assert st2.step.tolist() == [2, 0]
+
+        # view 1's first step must equal a fresh single-view Adam step
+        # (bias correction t=1 -> update magnitude == lr exactly)
+        p3, st3 = per_view_adam_update(p2, g, st2, 1, lr)
+        upd = np.asarray(p2.quat[1] - p3.quat[1])
+        np.testing.assert_allclose(upd, np.full(4, 1e-2), rtol=1e-4)
+        upd_t = np.asarray(p2.trans[1] - p3.trans[1])
+        np.testing.assert_allclose(upd_t, np.full(3, -1e-1), rtol=1e-4)
+        assert st3.step.tolist() == [2, 1]
+
 
 class TestMetrics:
     def test_evaluate_and_write(self, tmp_path):

@@ -112,6 +112,40 @@ class TestTrainerLoop:
         assert (np.asarray(s2.adam_g.mu.xyz[16:]) == 0.0).all()
         assert (np.asarray(s2.params.rotation[16:, 0]) == 1.0).all()
 
+    def test_capacity_pre_grow(self, dataset):
+        """The Trainer grows capacity when active count crosses 90% —
+        BEFORE any densify insertion is dropped (dropped rows are lost,
+        not retried, so the reactive path alone loses them)."""
+        source, model = dataset
+        from argparse import ArgumentParser
+        from deblurgs_tpu.cli.args import ModelParams, OptimizationParams
+        from deblurgs_tpu.cli.train import build_configs
+        from deblurgs_tpu.data.scene import Scene
+        from deblurgs_tpu.train.loop import Trainer
+
+        parser = ArgumentParser()
+        lp, op = ModelParams(parser), OptimizationParams(parser)
+        args = parser.parse_args([
+            "-s", source, "-m", model, "--num_subframes", "3",
+            "--curve_order", "2", "--backend", "xla",
+            "--max_pairs", str(1 << 12),
+            # densify never fires — only the pre-grow heuristic can grow
+            "--densify_from_iter", "1000",
+            "--opacity_reset_interval", "1000",
+        ])
+        gcfg, mcfg, ocfg, rcfg = build_configs(lp.extract(args),
+                                               op.extract(args))
+        scene = Scene(source, model, resolution=1)
+        tr = Trainer(scene=scene, gcfg=gcfg, mcfg=mcfg, ocfg=ocfg, rcfg=rcfg,
+                     model_path=model, tone_mapping="identity",
+                     sync_every=2)
+        # 40 active points in a capacity-41 state: 40 > 0.9*41
+        state, _ = tr.init_state(capacity=41)
+        assert state.params.xyz.shape[0] == 41
+        state = tr.train(state, first_iter=1, iterations=4)
+        assert state.params.xyz.shape[0] == 82
+        assert int(np.asarray(state.aux.active).sum()) == 40
+
 
 class TestPhaseTransitions:
     def test_sharp_to_blur_switch(self, dataset):

@@ -1,0 +1,127 @@
+"""Host-side COLMAP-pipeline tools: mask staging, images.txt db-reorder.
+
+These cover the parts of reference ``scripts/run_colmap.py`` /
+``utils/colmap_reoder.py`` that run without the colmap binary.
+"""
+
+import os
+import sqlite3
+
+import numpy as np
+from PIL import Image
+
+
+def _write_images(images_dir, names, w=8, h=6):
+    os.makedirs(images_dir, exist_ok=True)
+    for n in names:
+        Image.fromarray(
+            np.full((h, w, 3), 128, np.uint8)).save(
+            os.path.join(images_dir, n))
+
+
+class TestPrepareMasks:
+    def test_black_keeps_features(self, tmp_path):
+        """Reference semantics (run_colmap.py:317-330): user-mask BLACK
+        pixels -> 255 (keep) in the COLMAP mask, everything else -> 0."""
+        from deblurgs_tpu.tools.colmap_pipeline import prepare_masks
+
+        result = str(tmp_path / "res")
+        _write_images(os.path.join(result, "images"),
+                      ["a.png", "b.png"], w=8, h=6)
+        mask_dir = str(tmp_path / "masks")
+        os.makedirs(mask_dir)
+        m = np.zeros((6, 8, 3), np.uint8)
+        m[:3] = 255                      # top half masked (non-black)
+        for n in ("a.png", "b.png"):
+            Image.fromarray(m).save(os.path.join(mask_dir, n))
+
+        mask_write, colmap_write = prepare_masks(result, mask_dir)
+        assert sorted(os.listdir(mask_write)) == ["a.png", "b.png"]
+        out = np.asarray(Image.open(
+            os.path.join(colmap_write, "a.png.png")))
+        assert out.shape == (6, 8)
+        assert (out[:3] == 0).all()      # non-black user mask -> ignore
+        assert (out[3:] == 255).all()    # black user mask -> keep
+
+    def test_reverse_and_resize(self, tmp_path):
+        from deblurgs_tpu.tools.colmap_pipeline import prepare_masks
+
+        result = str(tmp_path / "res")
+        _write_images(os.path.join(result, "images"), ["x.jpg"], w=8, h=6)
+        mask_dir = str(tmp_path / "masks")
+        os.makedirs(mask_dir)
+        # mask at a DIFFERENT resolution: must resize to the image's
+        m = np.zeros((12, 16, 3), np.uint8)
+        m[:6] = 200
+        Image.fromarray(m).save(os.path.join(mask_dir, "x.png"))
+
+        _, colmap_write = prepare_masks(result, mask_dir, reverse=True)
+        out = np.asarray(Image.open(os.path.join(colmap_write, "x.jpg.png")))
+        assert out.shape == (6, 8)
+        assert (out[:3] == 255).all()
+        assert (out[3:] == 0).all()
+
+    def test_count_mismatch_raises(self, tmp_path):
+        import pytest
+
+        from deblurgs_tpu.tools.colmap_pipeline import prepare_masks
+
+        result = str(tmp_path / "res")
+        _write_images(os.path.join(result, "images"), ["a.png", "b.png"])
+        mask_dir = str(tmp_path / "masks")
+        os.makedirs(mask_dir)
+        Image.fromarray(np.zeros((6, 8, 3), np.uint8)).save(
+            os.path.join(mask_dir, "a.png"))
+        with pytest.raises(ValueError):
+            prepare_masks(result, mask_dir)
+
+
+class TestReorderImagesTxt:
+    def test_db_order_rewrite(self, tmp_path):
+        from deblurgs_tpu.tools.colmap_pipeline import reorder_images_txt
+
+        datadir = str(tmp_path)
+        db = os.path.join(datadir, "database.db")
+        conn = sqlite3.connect(db)
+        conn.execute("CREATE TABLE images (image_id INTEGER, name TEXT)")
+        conn.executemany("INSERT INTO images VALUES (?, ?)",
+                         [(7, "c.png"), (2, "a.png"), (5, "b.png")])
+        conn.commit()
+        conn.close()
+
+        sparse = os.path.join(datadir, "sparse_txt")
+        os.makedirs(sparse)
+        with open(os.path.join(sparse, "images.txt"), "w") as fp:
+            fp.write("# comment header\n")
+            fp.write("1 0.1 0.2 0.3 0.4 1 2 3 1 a.png\n\n")
+            fp.write("2 0.5 0.6 0.7 0.8 4 5 6 1 b.png\n\n")
+            fp.write("3 0.9 1.0 1.1 1.2 7 8 9 1 c.png\n\n")
+
+        out = reorder_images_txt(datadir)
+        lines = [l for l in open(out).read().splitlines() if l.strip()]
+        # db order: c(7), a(2), b(5) — ids replaced by db image_ids
+        assert lines[0].split()[0] == "7" and lines[0].endswith("c.png")
+        assert lines[1].split()[0] == "2" and lines[1].endswith("a.png")
+        assert lines[2].split()[0] == "5" and lines[2].endswith("b.png")
+        assert os.path.exists(os.path.join(sparse, "images_sorted.txt"))
+
+    def test_cli(self, tmp_path):
+        from deblurgs_tpu.cli.colmap_reorder import main
+
+        datadir = str(tmp_path)
+        db = os.path.join(datadir, "database.db")
+        conn = sqlite3.connect(db)
+        conn.execute("CREATE TABLE images (image_id INTEGER, name TEXT)")
+        conn.executemany("INSERT INTO images VALUES (?, ?)",
+                         [(3, "b.png"), (1, "a.png")])
+        conn.commit()
+        conn.close()
+        sparse = os.path.join(datadir, "sparse_txt")
+        os.makedirs(sparse)
+        with open(os.path.join(sparse, "images.txt"), "w") as fp:
+            fp.write("10 0 0 0 1 0 0 0 1 a.png\n")
+            fp.write("11 0 0 0 1 0 0 0 1 b.png\n")
+        main(["--datadir", datadir])
+        lines = [l for l in open(os.path.join(sparse, "images.txt"))
+                 .read().splitlines() if l.strip()]
+        assert lines[0].endswith("b.png") and lines[0].split()[0] == "3"
