@@ -117,7 +117,10 @@ def _train_step_bench(backend, n, width, height, max_pairs, tile, n_sub,
                               densify_from_iter=10**9,
                               opacity_reset_interval=10**9)
     rcfg = RasterizeConfig(backend=backend, max_pairs=max_pairs, k_max=2048,
-                           tile_w=tile, tile_h=tile)
+                           tile_w=tile, tile_h=tile, need_n_contrib=False,
+                           layout="mixed" if backend == "pallas" else
+                           "lockstep",
+                           window=2 if backend == "pallas" else 1)
     st = step_lib.TrainStatics(gcfg=gcfg, mcfg=mcfg, ocfg=ocfg, rcfg=rcfg,
                                cs=cs, sh_degree=2, n_sub=n_sub,
                                tone_mapping="identity")
@@ -158,8 +161,13 @@ def main():
                                       sh_degree=2).num_pairs)
     num_pairs = int(probe(*gauss))
     max_pairs = max(int(num_pairs * 1.1) + 1023 & ~1023, 1 << 14)
+    # mixed/window-1 is the measured fwd optimum, mixed/window-2 the
+    # fwd+bwd optimum (runs/r3_matrix_f32.log); the train-step bench below
+    # picks its own window
     cfg = RasterizeConfig(backend=backend, max_pairs=max_pairs, k_max=2048,
-                          tile_w=tile, tile_h=tile, need_n_contrib=False)
+                          tile_w=tile, tile_h=tile, need_n_contrib=False,
+                          layout="mixed" if backend == "pallas" else
+                          "lockstep")
 
     fn = jax.jit(lambda *a: render(*a, cam, cs, bg, cfg=cfg, sh_degree=2).image)
 

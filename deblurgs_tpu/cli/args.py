@@ -74,9 +74,12 @@ class ModelParams(ParamGroup):
         # TPU-framework additions
         self.backend = "pallas"       # "pallas" | "xla" | "oracle"
         self.max_pairs = 1 << 19
-        self.tile = 16
-        self.window = 1               # pallas: tiles per kernel grid step
-        self.kernel_layout = "lockstep"  # pallas grid: "mixed" | "lockstep"
+        # mixed-layout 32×32 kernels are the measured training optimum on
+        # v5e (1080p/100k A/B, runs/r3_matrix_f32.log: fwd+bwd 45 ms vs
+        # lockstep's 74 ms; window 2 best for fwd+bwd, window 1 for fwd)
+        self.tile = 32
+        self.window = 2               # pallas mixed: tiles per output block
+        self.kernel_layout = "mixed"  # pallas grid: "mixed" | "lockstep"
         self.tile_cull = True         # exact per-pair tile cull (pallas)
         self.tight_rect = True        # 1/255-ellipse AABB emission rects
         self.batched_render = False   # all sub-frames in ONE rasterizer

@@ -200,14 +200,12 @@ def broadcast_fields(ctable, gauss_c, *, interpret=False, total=None):
     """[P, 16] compact table + [max_pairs] compact ranks → [16, max_pairs]
     slot-space field rows (Pallas; see :func:`_broadcast_kernel`).
 
-    With ``total`` (real slot count) and dynamic grids enabled, chunks past
-    the capacity padding are skipped — their outputs are garbage, which the
-    caller already masks via the ``valid`` sentinel keys."""
+    Chunks past the capacity padding produce garbage outputs, which the
+    caller already masks via the ``valid`` sentinel keys (a dynamic grid
+    trimming them was A/B'd on device and measured a no-op)."""
     P = ctable.shape[0]
     max_pairs = gauss_c.shape[0]
     nc = max_pairs // CHUNK
-    if _DYN_GRID and total is not None:
-        nc = jnp.minimum((total + CHUNK - 1) // CHUNK, nc)
     p_pad = ((P + CHUNK - 1) // CHUNK) * CHUNK + CHUNK
     ctable = jnp.pad(ctable, ((0, p_pad - P), (0, 0)))
     win_blk = gauss_c[::CHUNK] >> 7                      # [nc] window block
@@ -457,16 +455,14 @@ def _utri(exclusive: bool = False):
 
 
 _PREFIX_IMPL = _os.environ.get("DEBLURGS_PREFIX_IMPL", "bf16x2")
-# dynamic grid size = real step count (trims the clamped no-op tail of the
-# static bound. Mosaic supports dynamic grid dims; opt-out escape hatch.)
-_DYN_GRID = _os.environ.get("DEBLURGS_DYNGRID", "0") == "1"
 
 
 def _grid_size(prep: Prepared):
-    ns = prep.step_tile.shape[0]
-    if _DYN_GRID and prep.num_steps is not None:
-        return jnp.minimum(prep.num_steps, ns)
-    return ns
+    # static bound only: a dynamic grid (= prep.num_steps, trimming the
+    # masked tail) was A/B'd on device and measured a no-op — dead steps
+    # skip their @pl.when bodies and their block DMAs are pipelined out
+    # (runs/r3_m32_dyngrid.log: 18.84 vs 18.89 ms)
+    return prep.step_tile.shape[0]
 
 
 def _prefix_lane(x, exclusive: bool = False):

@@ -151,10 +151,9 @@ def prepare_mixed(cfg, fields, s_tile, s_gc, ids, n_emit,
 
 
 def _grid_size(prep: PreparedMixed):
-    ns = prep.smap.shape[1]
-    if base._DYN_GRID:
-        return jnp.minimum(prep.num_steps, ns)
-    return ns
+    # static bound only — the dynamic-grid variant measured a no-op on
+    # device (see base._grid_size)
+    return prep.smap.shape[1]
 
 
 def _shift_left(x):

@@ -40,7 +40,11 @@ class TrainState(NamedTuple):
     adam_m: optim.AdamState
     step: jax.Array            # [] int32
     rng: jax.Array
-    overflow_count: jax.Array = jnp.zeros((), jnp.int32)
+    # default is a Python int, NOT jnp.zeros(()): a jnp default would be
+    # materialized at import time, silently initializing the jax backend
+    # before callers can pin jax_platforms (it becomes a traced int32
+    # scalar on the first step)
+    overflow_count: jax.Array | int = 0
     # ^ steps whose pair list was silently truncated (num_pairs > max_pairs,
     # or k_max exceeded on the scan backend) — detected IN the step so a
     # long run can assert zero truncated iterations (the host drains

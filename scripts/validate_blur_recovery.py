@@ -22,6 +22,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# ``--platform cpu`` must take effect BEFORE the deblurgs imports below:
+# deblurgs_tpu.train.step materializes a jnp default at import time, which
+# initializes the backend — after that, jax_platforms updates are ignored
+# and the script silently grabs the TPU (and its slow remote compiler).
+if "--platform" in sys.argv:
+    jax.config.update("jax_platforms",
+                      sys.argv[sys.argv.index("--platform") + 1])
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -98,6 +107,18 @@ def main():
                          "test.py re-registers + refines poses before "
                          "metrics, because the scene/curve gauge can drift "
                          "jointly; 0 = raw true-pose eval only)")
+    ap.add_argument("--init_true_curves", action="store_true",
+                    help="initialize the learned curves at the TRUE swept "
+                         "trajectories (+init_noise on the control points) "
+                         "instead of the static nominal poses — separates "
+                         "'optimization drifts away from the answer' from "
+                         "'optimization cannot find the answer'")
+    ap.add_argument("--baseline_sharp", type=float, default=None,
+                    help="no-curve blurry-fit baseline sharp PSNR (dB). "
+                         "When set, PASS requires gauge-fair sharp >= "
+                         "baseline + 3 dB AND traj_err <= traj_err_init "
+                         "(the round-2 verdict's acceptance criterion); "
+                         "otherwise the legacy absolute 24 dB gate applies")
     ap.add_argument("--gt_oversample", type=int, default=1,
                     help="synthesize the blurry GT from n_sub*K uniform "
                          "trajectory samples (K>1 approximates CONTINUOUS "
@@ -222,8 +243,17 @@ def main():
         params, aux = gm.create_from_pcd(
             init_pts, cols, gcfg, capacity=pts.shape[0] * args.capacity_mult)
         zero_lr = {}
-    motion0 = motion_lib.init_motion(rots, centers, mcfg, ks[6],
-                                     init_noise=args.init_noise)
+    if args.init_true_curves:
+        kr, kt = jax.random.split(ks[6])
+        motion0 = true_motion._replace(
+            rot_ctrl=true_motion.rot_ctrl + args.init_noise
+            * jax.random.normal(kr, true_motion.rot_ctrl.shape),
+            trans_ctrl=true_motion.trans_ctrl + args.init_noise
+            * jax.random.normal(kt, true_motion.trans_ctrl.shape),
+        )
+    else:
+        motion0 = motion_lib.init_motion(rots, centers, mcfg, ks[6],
+                                         init_noise=args.init_noise)
 
     curve_start = (10**9 if args.no_curve else args.curve_start)
     ocfg = OptimizationConfig(
@@ -422,6 +452,7 @@ def main():
                 "iters": args.iters, "n_cams": args.n_cams,
                 "n_sub": args.n_sub, "size": args.size,
                 "no_curve": args.no_curve, "no_densify": args.no_densify,
+                "args": {k: v for k, v in vars(args).items()},
             }, fp)
     if args.freeze_scene:
         ok = tr_err < 0.6 * init_err
@@ -431,7 +462,14 @@ def main():
         # protocol), and the pose-refined eval (reference test.py protocol)
         best_sharp = max(final_sharp, final_mid,
                          refined_sharp or final_sharp)
-        ok = best_sharp > 24.0
+        if args.baseline_sharp is not None:
+            ok = (best_sharp >= args.baseline_sharp + 3.0
+                  and tr_err <= init_err)
+            print(f"criteria: gauge-fair sharp {best_sharp:.2f} vs "
+                  f"baseline+3 = {args.baseline_sharp + 3.0:.2f}; "
+                  f"traj_err {tr_err:.4f} vs init {init_err:.4f}")
+        else:
+            ok = best_sharp > 24.0
     print("VALIDATION", "PASSED" if ok else "FAILED")
     return 0 if ok else 1
 
