@@ -213,17 +213,15 @@ def _seg_structure(trow):
 
 
 def _prefix_masked(x, m2):
-    """Segmented lane-prefix sum: x @ m2 (double-bfloat16 split, f32
-    accumulation — m2 entries are 0/1 so the mask is bf16-exact)."""
-    if base._PREFIX_IMPL == "f32":
-        return jnp.dot(x, m2, preferred_element_type=jnp.float32)
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    m2b = m2.astype(jnp.bfloat16)
-    dot = functools.partial(
-        jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    return dot(hi, m2b) + dot(lo, m2b)
+    """Segmented lane-prefix sum: x @ m2 with f32 operands.
+
+    Unlike the lockstep path's double-bfloat16 split (constant utri mask),
+    the real Mosaic compiler rejects the bf16-in/f32-out lowering of this
+    contraction against the *computed* segment mask ("Bad lhs type", any
+    PX — runs/r3_m32_bf16.log / runs/r3_meso_nocurve.log). The f32 matmul
+    costs ~0.6 ms at 1080p/100k (60 GFLOP stage at the MXU's 1/4 f32
+    rate) and is exact."""
+    return jnp.dot(x, m2, preferred_element_type=jnp.float32)
 
 
 def _onehot(trow, b_start, W):
