@@ -45,6 +45,8 @@ def main():
                     help="tiles per pallas grid step (e.g. --tile 16 "
                          "--window 4 = the fine-tile windowed kernel)")
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--layout", type=str, default="mixed",
+                    choices=["lockstep", "mixed"])
     args = ap.parse_args()
 
     platform = jax.devices()[0].platform
@@ -61,7 +63,8 @@ def main():
     print(f"num_pairs={num_pairs} max_pairs={max_pairs}", flush=True)
     cfg = RasterizeConfig(backend=backend, max_pairs=max_pairs, k_max=2048,
                           tile_w=args.tile, tile_h=args.tile,
-                          need_n_contrib=False, window=args.window)
+                          need_n_contrib=False, window=args.window,
+                          layout=args.layout)
     bcfg = cfg.blend_config(cs)
 
     def _pre(g):
@@ -85,9 +88,10 @@ def main():
         prep, total, mpt = pallas_blend.prepare_fused(
             bcfg, pre.means2d, pre.conic, pre.opacity, pre.color, pre.depth,
             pre.rect, pre.tiles_touched.astype(jnp.int32), max_pairs)
-        return jax.tree.map(lambda x: x.sum(),
-                            (prep.fields, prep.pair_gauss, prep.step_tile,
-                             total, mpt))
+        leaves = ((prep.fields, prep.pair_gauss, total, mpt)
+                  + ((prep.step_tile,) if hasattr(prep, "step_tile")
+                     else (prep.smap,)))
+        return jax.tree.map(lambda x: x.sum(), leaves)
 
     def stage_full(*g):
         return render(*g, cam, cs, bg, cfg=cfg, sh_degree=2).image
