@@ -192,18 +192,27 @@ def main():
         + 0.04 * jax.random.normal(ks[4], (args.n_cams, 1, 3)) * tline,
     )
 
+    # training config: with --batched, max_pairs budgets ALL n_sub views of
+    # a launch. The mixed kernel's scalar-prefetched step maps live in SMEM
+    # (1 MB), which caps max_pairs around ~2M — keep the big budget off the
+    # single-view eval/synth renders, which get their own small config.
     rcfg = RasterizeConfig(backend=args.backend, max_pairs=args.max_pairs,
                            k_max=1024, tile_w=args.tile, tile_h=args.tile,
                            layout="mixed" if args.batched else args.layout,
                            window=args.window,
                            need_n_contrib=not (args.batched
                                                or args.layout == "mixed"))
+    rcfg_eval = RasterizeConfig(backend=args.backend,
+                                max_pairs=min(args.max_pairs, 1 << 17),
+                                k_max=1024, tile_w=args.tile,
+                                tile_h=args.tile, layout=args.layout,
+                                window=args.window, need_n_contrib=False)
 
     def render_with(params, active, cam):
         rin = gm.render_inputs(params, gcfg)
         return render(rin["means3d"], rin["scales"], rin["rotations"],
                       rin["opacities"], rin["shs"], cam, cs, jnp.zeros(3),
-                      cfg=rcfg, sh_degree=2, active=active).image
+                      cfg=rcfg_eval, sh_degree=2, active=active).image
 
     # blurry GT (mean of uniform sub-frame renders) + sharp mid-pose GT.
     # Everything jitted with scene state passed as ARGUMENTS (closure
@@ -420,7 +429,7 @@ def main():
             cam = cam_lib.make_camera_arrays(view, proj)
             return render(rin_f["means3d"], rin_f["scales"],
                           rin_f["rotations"], rin_f["opacities"], rin_f["shs"],
-                          cam, cs, jnp.zeros(3), cfg=rcfg, sh_degree=2,
+                          cam, cs, jnp.zeros(3), cfg=rcfg_eval, sh_degree=2,
                           active=state.aux.active).image
 
         def refine_one(cam0, gt):
