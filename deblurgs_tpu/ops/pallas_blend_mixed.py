@@ -52,16 +52,26 @@ NFIELD = base.NFIELD
 _ALPHA_MIN = base._ALPHA_MIN
 _T_EPS = base._T_EPS
 
-# smap rows (per grid step)
+# smap rows (per grid step). The four binary flags share one bitfield row:
+# the prefetched SMEM operand is padded to 8 sublanes, so 9 rows would pad
+# to 16 and blow the 1 MB SMEM budget at ~2M pairs (6 rows pad to 8,
+# capping max_pairs near ~4M instead).
 _CHUNK_R = 0      # source chunk index
 _SE_R = 1         # even-buffer block row
 _SO_R = 2         # odd-buffer block row
 _BSTART_R = 3     # first covered W-block (window base = b_start * W)
-_FVE_R = 4        # 1 = first step binding this even block
-_FVO_R = 5        # 1 = first step binding this odd block
-_CF_R = 6         # 1 = first visit of this chunk
-_ALIVE_R = 7      # 1 = real step (static-grid tail gating)
-_CT_R = 8         # carry tile: tile id of the previous chunk's last slot
+_FLAGS_R = 4      # bit0 = first step binding the even block (FVE)
+                  # bit1 = first step binding the odd block (FVO)
+                  # bit2 = first visit of this chunk (CF)
+                  # bit3 = real step (ALIVE; static-grid tail gating)
+_CT_R = 5         # carry tile: tile id of the previous chunk's last slot
+_FVE_BIT, _FVO_BIT, _CF_BIT, _ALIVE_BIT = 1, 2, 4, 8
+
+
+def _flag(sm_ref, c, bit):
+    """Scalar flag read from the packed bitfield row (div/mod keeps the
+    lowering on plain scalar arithmetic)."""
+    return (sm_ref[_FLAGS_R, c] // bit) % 2 == 1
 
 
 class PreparedMixed(NamedTuple):
@@ -69,7 +79,7 @@ class PreparedMixed(NamedTuple):
 
     fields: jax.Array      # [16, max_pairs] rows 10-12 = tile, tx0, ty0
     pair_gauss: jax.Array  # [max_pairs] compact ranks (fused path)
-    smap: jax.Array        # [9, NS] int32 per-step maps (see _*_R above)
+    smap: jax.Array        # [6, NS] int32 per-step maps (see _*_R above)
     start_pad: jax.Array   # [2*nbuf*W] int32 tile_start padded (n_contrib)
     tile_start: jax.Array  # [num_tiles]
     tile_stop: jax.Array   # [num_tiles]
@@ -139,8 +149,9 @@ def prepare_mixed(cfg, fields, s_tile, s_gc, ids, n_emit,
     ct = jnp.concatenate(
         [jnp.full(1, -1, jnp.int32), s_tile[slots[1:] - 1]])
     sct = ct[step_chunk]
-    smap = jnp.stack([step_chunk, se, so, b_start, fv_e, fv_o,
-                      chunk_first, alive, sct])            # [9, NS]
+    flags = (fv_e * _FVE_BIT + fv_o * _FVO_BIT
+             + chunk_first * _CF_BIT + alive * _ALIVE_BIT)
+    smap = jnp.stack([step_chunk, se, so, b_start, flags, sct])  # [6, NS]
 
     start_pad = jnp.pad(tile_start.astype(jnp.int32),
                         (0, 2 * nbuf * W - nt), constant_values=0)
@@ -333,19 +344,19 @@ def _forward_kernel(cfg, sm_ref, st_ref, f_ref, *refs):
     def _():
         u_pend[...] = jnp.ones((px_n, 1), jnp.float32)
 
-    for cd_b, t_b, nc_b, fv_row in (
-            (cd_e, t_e, nc_e, _FVE_R), (cd_o, t_o, nc_o, _FVO_R)):
+    for cd_b, t_b, nc_b, fv_bit in (
+            (cd_e, t_e, nc_e, _FVE_BIT), (cd_o, t_o, nc_o, _FVO_BIT)):
 
-        @pl.when(sm_ref[fv_row, c] == 1)
+        @pl.when(_flag(sm_ref, c, fv_bit))
         def _(cd_b=cd_b, t_b=t_b, nc_b=nc_b):
             cd_b[...] = jnp.zeros((1, 4 * W, px_n), jnp.float32)
             t_b[...] = jnp.ones((1, px_n, W), jnp.float32)
             if nc_b is not None:
                 nc_b[...] = jnp.zeros((1, px_n, W), jnp.float32)
 
-    @pl.when(sm_ref[_ALIVE_R, c] == 1)
+    @pl.when(_flag(sm_ref, c, _ALIVE_BIT))
     def _():
-        @pl.when(sm_ref[_CF_R, c] == 1)
+        @pl.when(_flag(sm_ref, c, _CF_BIT))
         def _():
             u_ent[...] = u_pend[...]
 
@@ -480,12 +491,12 @@ def _backward_kernel(cfg, sm_ref, st_ref, f_ref, dl_e, dl_o, bgd_e, bgd_o,
         u_pend[...] = jnp.ones((px_n, 1), jnp.float32)
         w_pend[...] = jnp.zeros((px_n, 1), jnp.float32)
 
-    chunk_first = sm_ref[_CF_R, c] == 1
+    chunk_first = _flag(sm_ref, c, _CF_BIT)
     prev = jnp.where(chunk_first,
                      jnp.zeros((NFIELD, CHUNK), jnp.float32),
                      grads_out[...])
 
-    @pl.when(sm_ref[_ALIVE_R, c] == 1)
+    @pl.when(_flag(sm_ref, c, _ALIVE_BIT))
     def _():
         @pl.when(chunk_first)
         def _():
@@ -575,7 +586,8 @@ def _backward_kernel(cfg, sm_ref, st_ref, f_ref, dl_e, dl_o, bgd_e, bgd_o,
         in_win = (cr["trow"] >= base_t) & (cr["trow"] < base_t + 2 * W)
         grads_out[...] = jnp.where(in_win, gout, prev)
 
-    @pl.when(jnp.logical_and(sm_ref[_ALIVE_R, c] != 1, chunk_first))
+    @pl.when(jnp.logical_and(jnp.logical_not(_flag(sm_ref, c, _ALIVE_BIT)),
+                             chunk_first))
     def _():
         # a dead step can never be a chunk's first visit in the live
         # region; this only fires for the clamped tail, where writing the
