@@ -220,6 +220,12 @@ def render_batch(
         flat(pre.color), flat(pre.depth), flat(pre.rect),
         flat(pre.tiles_touched.astype(jnp.int32)), bg,
     )
+    # blend_fused returns single-image conventions when n_images == 1;
+    # this function's contract is ALWAYS view-batched [F, ...]
+    image = image.reshape((F,) + image.shape[-3:])
+    depth_img = depth_img.reshape((F,) + depth_img.shape[-2:])
+    final_T = final_T.reshape((F,) + final_T.shape[-2:])
+    n_contrib = n_contrib.reshape((F,) + n_contrib.shape[-2:])
     return RenderOutput(
         image=image, depth=depth_img, final_T=final_T, n_contrib=n_contrib,
         radii=pre.radius, visible=pre.visible,

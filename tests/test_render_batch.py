@@ -83,3 +83,21 @@ def test_batch_requires_mixed():
     except NotImplementedError:
         return
     raise AssertionError("expected NotImplementedError")
+
+
+def test_single_view_keeps_batch_axis():
+    """F=1 must return [1, H, W, 3] like any other F (blend's single-image
+    convention must not leak through — the n_sub=1 warm-up phase of a
+    batched-render training step consumes the view axis)."""
+    gauss, cams, cs = _setup()
+    cams1 = jax.tree.map(lambda x: x[:1], cams)
+    cfg = RasterizeConfig(backend="pallas", layout="mixed", interpret=True,
+                          max_pairs=1 << 13, tile_w=16, tile_h=16,
+                          need_n_contrib=False)
+    out = render_batch(*gauss, cams1, cs, jnp.zeros(3), cfg=cfg, sh_degree=1)
+    assert out.image.shape == (1, 32, 48, 3)
+    assert out.depth.shape == (1, 32, 48)
+    ref = render(*gauss, jax.tree.map(lambda x: x[0], cams1), cs,
+                 jnp.zeros(3), cfg=cfg, sh_degree=1)
+    np.testing.assert_allclose(np.asarray(out.image[0]),
+                               np.asarray(ref.image), atol=2e-5)
