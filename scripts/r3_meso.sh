@@ -25,8 +25,10 @@ if [ ! -f runs/r3_meso_smoke.json ]; then
   echo "=== M1 smoke (60 iters)"
   timeout 3000 python scripts/validate_blur_recovery.py $MESO --batched \
     --iters 60 --curve_start 10 --pose_refine_iters 0 \
-    --report runs/r3_meso_smoke.json > runs/r3_meso_smoke.log 2>&1 \
-    || { echo "SMOKE FAILED"; exit 1; }
+    --report runs/r3_meso_smoke.json > runs/r3_meso_smoke.log 2>&1
+  # validate exits 1 on its QUALITY gate — the smoke only checks that the
+  # batched config compiles, runs and reports
+  [ -f runs/r3_meso_smoke.json ] || { echo "SMOKE FAILED"; exit 1; }
   grep -E "FINAL" runs/r3_meso_smoke.log | tail -1
 fi
 
