@@ -77,7 +77,9 @@ def _parity_check(backend):
     imgs = {}
     for be in (backend, "xla", "oracle"):
         cfg = RasterizeConfig(backend=be, max_pairs=1 << 16, k_max=512,
-                              tile_w=16, tile_h=16)
+                              tile_w=16, tile_h=16,
+                              layout="mixed" if be == "pallas" else
+                              "lockstep", need_n_contrib=be != "pallas")
         fn = jax.jit(lambda *a, _c=cfg: render(*a, cam, cs, bg, cfg=_c,
                                                sh_degree=2).image)
         imgs[be] = np.asarray(fn(*gauss))
