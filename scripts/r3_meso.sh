@@ -34,7 +34,7 @@ fi
 
 echo "=== M1 joint"
 timeout 14000 python scripts/validate_blur_recovery.py $MESO --batched \
-  --curve_end_frac 0.67 --pose_refine_iters 300 \
+  --curve_end_frac 0.67 --pose_refine_iters 300 --clip_grad 1.0 \
   --baseline_sharp "$BASE" --save_state runs/r3_meso_state.npz \
   --report runs/r3_meso_joint.json > runs/r3_meso_joint.log 2>&1
 grep -E "FINAL|criteria|VALID" runs/r3_meso_joint.log | tail -3

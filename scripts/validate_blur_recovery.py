@@ -99,6 +99,9 @@ def main():
                     help="curve LR half-life as a fraction of iters "
                          "(reference: 15k/150k)")
     ap.add_argument("--init_noise", type=float, default=0.001)
+    ap.add_argument("--clip_grad", type=float, default=-1.0,
+                    help="gradient value clipping (the reference's "
+                         "stability option, train.py:204-205; <=0 = off)")
     ap.add_argument("--max_pairs", type=int, default=1 << 17)
     ap.add_argument("--true_scale", type=float, default=0.035,
                     help="true-scene Gaussian scale (world units; small = "
@@ -280,6 +283,7 @@ def main():
         curve_controlpoints_lr=1e-2 * args.curve_lr_mult,
         curve_rotation_lr=1e-3 * args.curve_lr_mult,
         curve_lr_half_iter=max(int(args.iters * args.curve_half_frac), 1),
+        clip_grad=args.clip_grad,
         **{"position_lr_init": args.pos_lr,
            "position_lr_final": args.pos_lr / 100.0,
            **zero_lr},
