@@ -135,7 +135,11 @@ def _train_step_bench(backend, n, width, height, max_pairs, tile, n_sub,
         new_state, m = fn(state, gt, jnp.zeros((), jnp.int32), proj)
         return new_state, m.loss
 
-    # state threads through, so inputs are naturally distinct per call
+    # TWO warmup calls: the second runs on the post-step state, so if any
+    # leaf still changes signature across the step (the round-3 bench bug:
+    # weak-int32 overflow_count recompiling inside the timed window) the
+    # recompile is paid here, not in the timing loop
+    state, _ = jax.block_until_ready(one(state, gt))
     state, _ = jax.block_until_ready(one(state, gt))
     t0 = time.time()
     for _ in range(iters):
@@ -211,12 +215,25 @@ def main():
     # full train step at the blur operating point (f sub-frames per step)
     try:
         n_sub = 21 if platform != "cpu" else 3
-        step_iters = 4 if platform != "cpu" else 2
+        step_iters = 10 if platform != "cpu" else 2
         dt_step = _train_step_bench(backend, n, width, height,
                                     cfg.max_pairs, tile, n_sub, step_iters)
         result["train_step_per_s"] = round(1.0 / dt_step, 3)
         result["train_renders_per_s"] = round(n_sub / dt_step, 2)
         result["train_n_sub"] = n_sub
+        # sanity cross-check: a train-step render can cost at most ~4x a
+        # bare fwd+bwd render (the residual is loss + Adam + densify
+        # bookkeeping). A larger gap means the bench mis-measured (e.g. a
+        # recompile inside the timed window — the round-3 50x artifact).
+        fb = result["fwdbwd_renders_per_s"]
+        if fb:
+            ratio = fb / max(result["train_renders_per_s"], 1e-9)
+            result["train_bench_sane"] = bool(ratio < 4.0)
+            if ratio >= 4.0:
+                print(f"train-step bench INSANE: fwd+bwd renders/s is "
+                      f"{ratio:.1f}x train renders/s (expected < 4x) — "
+                      "likely a recompile in the timed window",
+                      file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         print(f"train-step bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)

@@ -35,7 +35,14 @@ def bernstein_basis(t: jax.Array, order: int) -> jax.Array:
     asc = jnp.arange(0, order + 1, dtype=t.dtype)
     # 0**0 := 1 at the endpoints (matches torch pow semantics used by reference)
     tb = t[..., None]
-    return (tb ** desc) * ((1.0 - tb) ** asc) * binom
+    # grad-safe bases: the pow VJP is g*k*x^(k-1), which at x=0, k=0 is
+    # 0*inf = NaN — an alignment sample that lands exactly on 0 or 1 (clip
+    # under jitter, or a saturated sigmoid) would send NaN into the nu
+    # cotangent. Guard the BASE of the exponent-0 column (guarding the
+    # output still evaluates the NaN inside the select's VJP).
+    tb_d = jnp.where(desc == 0, jnp.ones_like(tb), tb)
+    om_a = jnp.where(asc == 0, jnp.ones_like(tb), 1.0 - tb)
+    return (tb_d ** desc) * (om_a ** asc) * binom
 
 
 def bezier_eval(control_points: jax.Array, t: jax.Array) -> jax.Array:

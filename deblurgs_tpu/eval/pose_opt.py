@@ -32,42 +32,44 @@ class PoseParams(NamedTuple):
     trans: jax.Array   # [n, 3] — w2c translation
 
 
-class PerViewAdamState(NamedTuple):
-    """Per-view Adam: the reference gives each test view its OWN optimizer
-    (``test.py:157-184``), so a step for view *i* must leave every other
-    view's moments, step count and params bit-identical. Moments are shaped
-    like PoseParams ([n, ...]); ``step`` is [n] int32."""
+class SharedAdamState(NamedTuple):
+    """ONE torch Adam over the full ``[n, ...]`` pose tensors, exactly as the
+    reference (``test.py:154-158``: a single ``optim.Adam`` over ``_rot``/
+    ``_trans``). A step for view *i* backprops a gradient that is zero on
+    every other row, but torch still updates the WHOLE tensor: other rows'
+    moments decay (``mu *= b1``, ``nu *= b2``) and their params drift by the
+    bias-corrected residual momentum, with a single GLOBAL step count per
+    tensor. Moments are shaped like PoseParams; ``step`` is [] int32."""
 
     mu: PoseParams
     nu: PoseParams
     step: jax.Array
 
 
-def init_per_view_adam(pose: PoseParams) -> PerViewAdamState:
+def init_shared_adam(pose: PoseParams) -> SharedAdamState:
     z = jax.tree.map(jnp.zeros_like, pose)
-    n = pose.quat.shape[0]
-    return PerViewAdamState(mu=z, nu=jax.tree.map(jnp.zeros_like, pose),
-                            step=jnp.zeros((n,), jnp.int32))
+    return SharedAdamState(mu=z, nu=jax.tree.map(jnp.zeros_like, pose),
+                           step=jnp.zeros((), jnp.int32))
 
 
-def per_view_adam_update(pose: PoseParams, grads: PoseParams,
-                         state: PerViewAdamState, idx, lr: PoseParams,
-                         *, b1: float = 0.9, b2: float = 0.999,
-                         eps: float = 1e-15):
-    """Adam step on row ``idx`` only (torch per-view optimizer semantics:
-    reference Adam eps 1e-15, bias correction by this view's own count)."""
-    t = (state.step[idx] + 1).astype(jnp.float32)
+def shared_adam_update(pose: PoseParams, grads: PoseParams,
+                       state: SharedAdamState, lr: PoseParams,
+                       *, b1: float = 0.9, b2: float = 0.999,
+                       eps: float = 1e-15):
+    """One shared-optimizer Adam step over the FULL tensors (torch
+    semantics: reference Adam eps 1e-15, one global step count; rows with
+    zero grads still decay moments and move by residual momentum)."""
+    t = (state.step + 1).astype(jnp.float32)
 
-    def row(p, g, mu, nu, lr_i):
-        mu2 = b1 * mu[idx] + (1 - b1) * g[idx]
-        nu2 = b2 * nu[idx] + (1 - b2) * (g[idx] * g[idx])
+    def leaf(p, g, mu, nu, lr_i):
+        mu2 = b1 * mu + (1 - b1) * g
+        nu2 = b2 * nu + (1 - b2) * (g * g)
         mu_hat = mu2 / (1 - b1**t)
         nu_hat = nu2 / (1 - b2**t)
         upd = jnp.asarray(lr_i, p.dtype) * mu_hat / (jnp.sqrt(nu_hat) + eps)
-        return (p.at[idx].add(-upd), mu.at[idx].set(mu2),
-                nu.at[idx].set(nu2))
+        return p - upd, mu2, nu2
 
-    leaves = [row(*args) for args in zip(
+    leaves = [leaf(*args) for args in zip(
         jax.tree.leaves(pose), jax.tree.leaves(grads),
         jax.tree.leaves(state.mu), jax.tree.leaves(state.nu),
         jax.tree.leaves(lr))]
@@ -75,8 +77,8 @@ def per_view_adam_update(pose: PoseParams, grads: PoseParams,
     new_pose = jax.tree.unflatten(treedef, [l[0] for l in leaves])
     new_mu = jax.tree.unflatten(treedef, [l[1] for l in leaves])
     new_nu = jax.tree.unflatten(treedef, [l[2] for l in leaves])
-    return new_pose, PerViewAdamState(
-        mu=new_mu, nu=new_nu, step=state.step.at[idx].add(1))
+    return new_pose, SharedAdamState(mu=new_mu, nu=new_nu,
+                                     step=state.step + 1)
 
 
 def init_pose_params(rotations: jax.Array, translations: jax.Array) -> PoseParams:
@@ -112,7 +114,7 @@ def optimize_test_poses(
     """Refine all test poses; returns the optimized PoseParams."""
     pose = init_pose_params(jnp.asarray(rotations, jnp.float32),
                             jnp.asarray(translations, jnp.float32))
-    state = init_per_view_adam(pose)
+    state = init_shared_adam(pose)
     rin = gm.render_inputs(session.params, session.gcfg)
     cs = session.scene.camera_static
     n = pose.quat.shape[0]
@@ -133,7 +135,7 @@ def optimize_test_poses(
     def step(pose, state, idx, gt, lr_scale):
         (loss, img), g = grad_fn(pose, idx, gt)
         lr = PoseParams(quat=lr_rot * lr_scale, trans=lr_trans * lr_scale)
-        pose, state = per_view_adam_update(pose, g, state, idx, lr)
+        pose, state = shared_adam_update(pose, g, state, lr)
         mse = jnp.mean((img - gt) ** 2)
         return pose, state, loss, mse
 

@@ -533,10 +533,17 @@ def _chunk_core(data, tx0, ty0, pf, U, base, start, stop):
         pf, b8, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                             # [PX, CHUNK] (MXU)
-    # no min(power, 0) clamp: the conic is PSD so power ≤ 0 up to rounding
-    # eps, and pairs with power > 0 are gated ineligible below — G for
-    # them never feeds alpha_eff or the composited moments
-    G = jnp.exp(power)
+    # min(power, 0) clamp: eligible lanes always have power ≤ 0, so the
+    # clamp is exact where G matters — but it must NOT be skipped for the
+    # ineligible lanes: the MXU bilinear form's cancellation error scales
+    # with its term magnitudes (ca·xl² can be ~1e8 for hugely anisotropic
+    # splats, and det can go numerically negative), so computed power can
+    # exceed +88 and exp overflows to inf. The backward then computes
+    # G · dL_dalpha with a masked-zero dL_dalpha — inf·0 = NaN — which the
+    # moment matmul spreads into the pair's mean2d/conic/opacity grads
+    # (the round-3 meso-joint NaN at it≈6800; color grads carry no G
+    # factor, which is why f_dc stayed finite in the poisoned state).
+    G = jnp.exp(jnp.minimum(power, 0.0))
     alpha = jnp.minimum(0.99, opac * G)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
     pos = base + col

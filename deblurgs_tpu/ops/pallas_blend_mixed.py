@@ -274,7 +274,15 @@ def _mixed_core(cfg, data, carry_f, U, need_G=False):
     powero = jax.lax.dot_general(
         pf, b8, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)       # [PX, CHUNK] power+log(o)
-    araw = jnp.exp(powero)                        # = opac · exp(power)
+    # min(powero, 0) clamp: eligible lanes satisfy powero ≤ log(opac) ≤ 0
+    # (activated opacity ≤ 1), so the clamp is exact wherever alpha or G is
+    # consumed. Ineligible lanes MUST be clamped: the bilinear form's f32
+    # cancellation error scales with its term magnitudes, so computed
+    # powero can exceed +88 for degenerate/hyper-anisotropic splats and
+    # exp overflows to inf — the backward's G·dL_dalpha then yields
+    # inf·0 = NaN and the moment matmul poisons the pair's mean2d/conic/
+    # opacity grads (root cause of the round-3 meso-joint curve NaN).
+    araw = jnp.exp(jnp.minimum(powero, 0.0))      # = opac · exp(power)
     alpha = jnp.minimum(0.99, araw)
     elig = (powero <= logop) & (araw >= _ALPHA_MIN)
     alpha_eff = jnp.where(elig, alpha, 0.0)

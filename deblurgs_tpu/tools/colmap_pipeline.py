@@ -258,22 +258,54 @@ def reorder_images_txt(datadir: str, database_filename: str = "database.db",
     db_path = os.path.join(datadir, database_filename)
     images_txt = os.path.join(datadir, sparse_dirname, "images.txt")
     rows = read_db_images(db_path)                       # [(id, name), ...]
+    # COLMAP's images.txt is TWO lines per image: the pose header and a
+    # points2D line (possibly empty). Parse them as pairs — keying every
+    # non-blank line by its last token would mis-read points lines as
+    # headers whenever points2D is non-empty.
     with open(images_txt) as fp:
-        entries = [l for l in fp.read().splitlines() if l.strip()]
+        lines = fp.read().splitlines()
+    body = [l for l in lines if not l.startswith("#")]
+
+    def looks_like_header(line: str) -> bool:
+        # IMAGE_ID QW QX QY QZ TX TY TZ CAMERA_ID NAME — 10 tokens, the
+        # first nine numeric (points lines are all-numeric X Y POINT3D_ID
+        # triples, so a non-multiple-of-3 numeric prefix + name is a header)
+        toks = line.split()
+        if len(toks) != 10:
+            return False
+        try:
+            int(toks[0]); int(toks[8])
+            [float(t) for t in toks[1:8]]
+        except ValueError:
+            return False
+        return True
+
     by_name = {}
-    for line in entries:
-        if line.startswith("#"):
+    i = 0
+    while i < len(body):
+        if not body[i].strip():                          # stray blank
+            i += 1
             continue
-        by_name[line.split(" ")[-1]] = line
+        header = body[i]
+        nxt = body[i + 1] if i + 1 < len(body) else ""
+        # the points2D line may be empty; some hand-made files omit it
+        # entirely — only consume the next line when it is not a header
+        points = "" if looks_like_header(nxt) else nxt
+        by_name[header.split(" ")[-1]] = (header, points)
+        i += 1 if looks_like_header(nxt) else 2
     shutil.move(images_txt,
                 images_txt.replace("images.txt", "images_sorted.txt"))
     with open(images_txt, "w") as fp:
         for img_id, name in rows:
-            line = by_name.get(name)
-            if line is None:
+            entry = by_name.get(name)
+            if entry is None:
                 continue
-            _, rest = line.split(" ", 1)
-            fp.write(f"{img_id} {rest}\n")
+            header, points = entry
+            _, rest = header.split(" ", 1)
+            # keep the two-lines-per-image contract (the reference's
+            # colmap_reoder.py writes the trailing newline; our own
+            # read_images_text consumes pairs)
+            fp.write(f"{img_id} {rest}\n{points}\n")
     return images_txt
 
 

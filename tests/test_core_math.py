@@ -170,6 +170,47 @@ class TestBezier:
             bezier.binom_coefficients(9), scipy.special.binom(9, np.arange(10))
         )
 
+    def test_endpoint_gradients_finite(self):
+        """d(basis)/dt at t=0 and t=1 must be finite: the raw pow VJP
+        (g·k·t^(k-1)) yields 0·inf = NaN for the exponent-0 column. An
+        alignment sample clipped to exactly 0/1 (jitter) or a saturated
+        sigmoid feeds exactly these t values with a live cotangent."""
+        order = 9
+
+        def f(t):
+            return jnp.sum(bezier.bernstein_basis(t, order) ** 2)
+
+        for tv in [0.0, 1.0, 0.5]:
+            g = np.asarray(jax.grad(f)(jnp.float32(tv)))
+            assert np.isfinite(g), (tv, g)
+        # analytic check at the endpoints: d/dt Σ b_k² = 2 b_k b_k'; at t=0
+        # only b_order=1 (others 0), b_order' = -order, b_{order-1}' = order
+        g0 = float(jax.grad(f)(jnp.float32(0.0)))
+        np.testing.assert_allclose(g0, -2.0 * order, rtol=1e-5)
+        g1 = float(jax.grad(f)(jnp.float32(1.0)))
+        np.testing.assert_allclose(g1, 2.0 * order, rtol=1e-5)
+
+    def test_eval_gradient_through_curve_at_endpoints(self):
+        """Full chain: grads of a bezier_eval sample at t∈{0,1} w.r.t. both
+        t and the control points are finite and match the derivative
+        curve (order·(Δ ctrl) at the endpoints)."""
+        ctrl = rand(99, 4, 3)  # order 3
+
+        def g_of_t(t):
+            return jnp.sum(bezier.bezier_eval(ctrl, t[None])[0] ** 2)
+
+        for tv, end_pair in [(0.0, (ctrl[-2], ctrl[-1])),
+                             (1.0, (ctrl[0], ctrl[1]))]:
+            g = float(jax.grad(g_of_t)(jnp.float32(tv)))
+            assert np.isfinite(g)
+            # in the reference's descending ordering the curve derivative
+            # is order·(c[-2]-c[-1]) at t=0 and order·(c[0]-c[1]) at t=1
+            a, b = np.asarray(end_pair[0]), np.asarray(end_pair[1])
+            p = b if tv == 0.0 else a       # curve point at the endpoint
+            dcurve = 3.0 * (a - b)
+            expect = float((2.0 * p * dcurve).sum())
+            np.testing.assert_allclose(g, expect, rtol=1e-4)
+
 
 class TestCamera:
     def test_projection_matches_reference_formula(self):

@@ -100,40 +100,55 @@ class TestPoseOpt:
         loss_after = float(l1_loss(img1, gt))
         assert loss_after < 0.7 * loss_before, (loss_before, loss_after)
 
-    def test_per_view_adam_isolates_views(self):
-        """Reference semantics (test.py:157-184): each view has its OWN
-        optimizer — stepping view 0 must leave view 1's pose, moments and
-        step count bit-identical, and a later step of view 1 must
-        bias-correct by view 1's own count, not a shared one."""
+    def test_shared_adam_matches_torch(self):
+        """Reference semantics (test.py:154-158): ONE torch Adam over the
+        full [n,...] pose tensors. A step for view i leaves zero grads on
+        every other row, but torch still decays their moments and drifts
+        their params with one GLOBAL step count — replicate bit-for-bit
+        against torch.optim.Adam on the same step sequence."""
+        import torch
+
         from deblurgs_tpu.eval.pose_opt import (
-            PoseParams, init_per_view_adam, per_view_adam_update,
+            PoseParams, init_shared_adam, shared_adam_update,
         )
 
-        pose = PoseParams(quat=jnp.arange(8, dtype=jnp.float32).reshape(2, 4),
-                          trans=jnp.ones((2, 3), jnp.float32))
-        st = init_per_view_adam(pose)
-        g = PoseParams(quat=jnp.full((2, 4), 0.3, jnp.float32),
-                       trans=jnp.full((2, 3), -0.7, jnp.float32))
-        lr = PoseParams(quat=1e-2, trans=1e-1)
+        rng = np.random.RandomState(0)
+        q0 = rng.randn(3, 4).astype(np.float32)
+        t0 = rng.randn(3, 3).astype(np.float32)
+        lr_rot, lr_trans = 5e-5, 5e-4
 
-        p1, st1 = per_view_adam_update(pose, g, st, 0, lr)
-        p2, st2 = per_view_adam_update(p1, g, st1, 0, lr)
-        for leaf0, leaf2 in zip(jax.tree.leaves(pose), jax.tree.leaves(p2)):
-            np.testing.assert_array_equal(np.asarray(leaf0[1]),
-                                          np.asarray(leaf2[1]))
-        for m0, m2 in zip(jax.tree.leaves(st.mu), jax.tree.leaves(st2.mu)):
-            np.testing.assert_array_equal(np.asarray(m0[1]),
-                                          np.asarray(m2[1]))
-        assert st2.step.tolist() == [2, 0]
+        tq = torch.nn.Parameter(torch.from_numpy(q0.copy()))
+        tt = torch.nn.Parameter(torch.from_numpy(t0.copy()))
+        opt = torch.optim.Adam(
+            [{"params": [tq], "lr": lr_rot}, {"params": [tt], "lr": lr_trans}],
+            lr=lr_trans, eps=1e-15)
 
-        # view 1's first step must equal a fresh single-view Adam step
-        # (bias correction t=1 -> update magnitude == lr exactly)
-        p3, st3 = per_view_adam_update(p2, g, st2, 1, lr)
-        upd = np.asarray(p2.quat[1] - p3.quat[1])
-        np.testing.assert_allclose(upd, np.full(4, 1e-2), rtol=1e-4)
-        upd_t = np.asarray(p2.trans[1] - p3.trans[1])
-        np.testing.assert_allclose(upd_t, np.full(3, -1e-1), rtol=1e-4)
-        assert st3.step.tolist() == [2, 1]
+        pose = PoseParams(quat=jnp.asarray(q0), trans=jnp.asarray(t0))
+        st = init_shared_adam(pose)
+        lr = PoseParams(quat=lr_rot, trans=lr_trans)
+
+        # visit views 0, 2, 0, 1 — interleaved, rows w/o grads must drift
+        for step_i, idx in enumerate([0, 2, 0, 1]):
+            gq = np.zeros((3, 4), np.float32)
+            gt_ = np.zeros((3, 3), np.float32)
+            gq[idx] = rng.randn(4).astype(np.float32)
+            gt_[idx] = rng.randn(3).astype(np.float32)
+
+            opt.zero_grad()
+            tq.grad = torch.from_numpy(gq.copy())
+            tt.grad = torch.from_numpy(gt_.copy())
+            opt.step()
+
+            g = PoseParams(quat=jnp.asarray(gq), trans=jnp.asarray(gt_))
+            pose, st = shared_adam_update(pose, g, st, lr)
+
+        np.testing.assert_allclose(np.asarray(pose.quat),
+                                   tq.detach().numpy(), rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(pose.trans),
+                                   tt.detach().numpy(), rtol=1e-5, atol=1e-7)
+        # after 2 steps of view 0 and 1 of view 2, view 1's row has moved
+        # purely by shared-optimizer drift (zero grads so far at step 3)
+        assert int(st.step) == 4
 
 
 class TestMetrics:

@@ -294,3 +294,117 @@ def test_windowed_grad_reduce_matches_segment_sum():
                                    np.asarray(ref)[:n_emit, :10],
                                    atol=2e-5, rtol=1e-5)
         assert not np.isnan(np.asarray(got)[:n_emit]).any()
+
+
+class TestIndefiniteConicGrads:
+    """Regression: the round-3 meso-joint curve NaN (it≈6800).
+
+    The MXU bilinear power form's f32 cancellation error scales with its
+    term magnitudes, so a degenerate / hyper-anisotropic splat can yield a
+    computed power of +hundreds on pixels where the true power is ≤ 0 — or
+    a numerically negative det can make the conic genuinely indefinite.
+    Pre-fix, exp(power) overflowed to inf and the backward's G·dL_dalpha
+    (dL_dalpha masked to 0 on ineligible lanes) produced inf·0 = NaN,
+    poisoning the pair's mean2d/conic/opacity gradients (but NOT its color
+    grads — no G factor — exactly the field pattern of the poisoned
+    runs/r3_meso_state.npz). These tests feed an indefinite conic whose
+    power exceeds the f32 exp overflow threshold through blend_fused (the
+    shipping pallas path) and require finite grads matching the (gated)
+    XLA backend.
+    """
+
+    def _scene(self):
+        # one 16x16 tile, 3 splats in depth order: [normal, HOSTILE, normal].
+        # All means sit OFF the pixel grid: a mean exactly on a pixel puts
+        # that pixel on the power<=0 eligibility boundary, where the MXU
+        # bilinear form and the direct form can legitimately gate
+        # differently in f32. The hostile's (indefinite) power is then
+        # strictly positive at every pixel — ineligible everywhere, with
+        # far-field power > +800 (inf exp pre-fix)
+        means2d = jnp.array([[8.3, 8.2], [4.5, 12.5], [10.4, 6.3]])
+        conic = jnp.array([
+            [0.08, 0.01, 0.06],     # healthy PSD
+            [-5.0, -0.1, -5.0],     # indefinite: power = +2.5(dx²+dy²)+...
+            [0.05, 0.0, 0.05],
+        ])
+        opacity = jnp.array([0.8, 0.9, 0.7])
+        color = jnp.array([[0.9, 0.2, 0.1], [0.2, 0.9, 0.3], [0.1, 0.3, 0.8]])
+        depth = jnp.array([2.0, 3.0, 4.0])
+        bg = jnp.array([0.25, 0.5, 0.75])
+        rect = jnp.broadcast_to(jnp.array([0, 0, 1, 1], jnp.int32), (3, 4))
+        area = jnp.ones((3,), jnp.int32)
+        return (means2d, conic, opacity, color, depth), rect, area, bg
+
+    def _xla_reference_grads(self, loss_w):
+        """XLA blend with the equivalent manual pair list (direct power
+        computation — no bilinear factorization, gated exp)."""
+        from deblurgs_tpu.ops.tile_blend import BlendConfig, blend
+
+        fields, _, _, bg = self._scene()
+        mp = 128
+        pair_gauss = jnp.full(mp, 3, jnp.int32).at[:3].set(
+            jnp.array([0, 1, 2], jnp.int32))
+        pair_tile = jnp.full(mp, 1, jnp.int32).at[:3].set(0)
+        tile_start = jnp.zeros(1, jnp.int32)
+        tile_stop = jnp.full(1, 3, jnp.int32)
+        cfg = BlendConfig(width=16, height=16, tile_w=16, tile_h=16,
+                          k_max=8, backend="xla")
+        w_img, w_dep = loss_w
+
+        def loss(*f):
+            img, dep, _, _ = blend(cfg, pair_gauss, pair_tile, tile_start,
+                                   tile_stop, *f, bg)
+            return jnp.sum(img * w_img) + w_dep * jnp.sum(dep)
+
+        val = loss(*fields)
+        g = jax.grad(loss, argnums=tuple(range(5)))(*fields)
+        return val, g
+
+    @pytest.mark.parametrize("layout,window", [("lockstep", 1), ("mixed", 1),
+                                               ("mixed", 2)])
+    def test_finite_grads_match_xla(self, layout, window):
+        from deblurgs_tpu.ops.tile_blend import BlendConfig, blend_fused
+
+        fields, rect, area, bg = self._scene()
+        cfg = BlendConfig(width=16, height=16, tile_w=16, tile_h=16,
+                          k_max=8, max_pairs=128, backend="pallas",
+                          interpret=True, layout=layout, window=window,
+                          need_n_contrib=False, tile_cull=False)
+        w_img = jax.random.normal(jax.random.PRNGKey(7), (16, 16, 3))
+
+        def loss(*f):
+            img, dep, *_ = blend_fused(cfg, *f, rect, area, bg)
+            return jnp.sum(img * w_img) + 0.1 * jnp.sum(dep)
+
+        val_pl = loss(*fields)
+        g_pl = jax.grad(loss, argnums=tuple(range(5)))(*fields)
+        val_x, g_xla = self._xla_reference_grads((w_img, 0.1))
+        assert np.isfinite(float(val_pl))
+        np.testing.assert_allclose(float(val_pl), float(val_x), rtol=1e-5)
+        names = ["means2d", "conic", "opacity", "color", "depth"]
+        for name, a, b in zip(names, g_pl, g_xla):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.isfinite(a).all(), f"non-finite pallas grad: {name}\n{a}"
+            assert np.isfinite(b).all(), f"non-finite xla grad: {name}\n{b}"
+            np.testing.assert_allclose(a, b, atol=3e-5, rtol=5e-4,
+                                       err_msg=f"grad mismatch: {name}")
+        # the hostile pair is ineligible at every pixel: its own field
+        # grads must be exactly zero (pre-fix they were NaN)
+        assert np.all(np.asarray(g_pl[1])[1] == 0.0), np.asarray(g_pl[1])[1]
+        assert np.all(np.asarray(g_pl[2])[1] == 0.0), np.asarray(g_pl[2])[1]
+
+    @pytest.mark.parametrize("layout", ["lockstep", "mixed"])
+    def test_forward_parity_with_hostile_pair(self, layout):
+        from deblurgs_tpu.ops.tile_blend import BlendConfig, blend_fused
+
+        fields, rect, area, bg = self._scene()
+        cfg = BlendConfig(width=16, height=16, tile_w=16, tile_h=16,
+                          k_max=8, max_pairs=128, backend="pallas",
+                          interpret=True, layout=layout,
+                          need_n_contrib=False, tile_cull=False)
+        out = blend_fused(cfg, *fields, rect, area, bg)
+        val_x, _ = self._xla_reference_grads(
+            (jnp.ones((16, 16, 3)), 0.0))
+        img = np.asarray(out[0])
+        assert np.isfinite(img).all()
+        np.testing.assert_allclose(img.sum(), float(val_x), rtol=1e-5)

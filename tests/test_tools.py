@@ -105,6 +105,49 @@ class TestReorderImagesTxt:
         assert lines[2].split()[0] == "5" and lines[2].endswith("b.png")
         assert os.path.exists(os.path.join(sparse, "images_sorted.txt"))
 
+    def test_nonempty_points2d_round_trips(self, tmp_path):
+        """Two-lines-per-image contract: a non-empty points2D line must be
+        carried with its header (and a blank one written where absent) so
+        the rewritten file still parses with read_images_text."""
+        from deblurgs_tpu.data.colmap import read_images_text
+        from deblurgs_tpu.tools.colmap_pipeline import reorder_images_txt
+
+        datadir = str(tmp_path)
+        db = os.path.join(datadir, "database.db")
+        conn = sqlite3.connect(db)
+        conn.execute("CREATE TABLE images (image_id INTEGER, name TEXT)")
+        conn.executemany("INSERT INTO images VALUES (?, ?)",
+                         [(4, "b.png"), (9, "a.png")])
+        conn.commit()
+        conn.close()
+
+        sparse = os.path.join(datadir, "sparse_txt")
+        os.makedirs(sparse)
+        pts_a = "10.5 20.25 3 40.0 50.0 -1"
+        with open(os.path.join(sparse, "images.txt"), "w") as fp:
+            fp.write("# images.txt\n")
+            fp.write("1 1 0 0 0 0.5 0.25 2.0 1 a.png\n")
+            fp.write(pts_a + "\n")
+            fp.write("2 1 0 0 0 1.5 1.25 3.0 1 b.png\n")
+            fp.write("\n")                       # empty points2D line
+
+        out = reorder_images_txt(datadir)
+        raw = open(out).read().splitlines()
+        # db order: b(4) first, then a(9); points lines preserved in place
+        assert raw[0].split()[0] == "4" and raw[0].endswith("b.png")
+        assert raw[1] == ""
+        assert raw[2].split()[0] == "9" and raw[2].endswith("a.png")
+        assert raw[3] == pts_a
+
+        images = read_images_text(out)
+        assert sorted(images.keys()) == [4, 9]
+        assert images[9].name == "a.png"
+        np.testing.assert_allclose(images[9].xys,
+                                   [[10.5, 20.25], [40.0, 50.0]])
+        np.testing.assert_array_equal(images[9].point3D_ids, [3, -1])
+        assert images[4].name == "b.png"
+        assert images[4].xys.shape[0] == 0
+
     def test_cli(self, tmp_path):
         from deblurgs_tpu.cli.colmap_reorder import main
 

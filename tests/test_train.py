@@ -135,6 +135,44 @@ class TestTrainStep:
         d_trans = np.abs(np.asarray(state.motion.trans_ctrl) - m0.trans_ctrl).max()
         assert d_rot > 0 and d_trans > 0
 
+    def test_alignment_nu_receives_gradients(self):
+        """The alignment logits must sit INSIDE the differentiated forward
+        (reference motion.py:127 samples `_nu` under autograd in the same
+        Adam group). Round 3 sampled nu from `state.motion` outside
+        value_and_grad, silently disconnecting it — caught by an
+        all-zero-moments audit of runs/r3_meso_state.npz."""
+        data = build_synthetic(jax.random.PRNGKey(5), n_cams=2)
+        gcfg, rcfg = data["gcfg"], data["rcfg"]
+        params, aux = gm.create_from_pcd(data["pts"], data["cols"], gcfg,
+                                         capacity=64)
+        mcfg = motion_lib.MotionConfig(curve_order=3, n_subframes=5)
+        motion_params = motion_lib.init_motion(data["rots"], data["centers"],
+                                               mcfg, jax.random.PRNGKey(6),
+                                               init_noise=0.01)
+        ocfg = OptimizationConfig(
+            iterations=1000, curve_start_iter=1, curve_end_iter=1000,
+            densify_from_iter=10_000, opacity_reset_interval=10_000,
+            curve_alignment_lr=1e-2, curve_alignment_start=1,
+        )
+        st = step_lib.TrainStatics(
+            gcfg=gcfg, mcfg=mcfg, ocfg=ocfg, rcfg=rcfg, cs=data["cs"],
+            sh_degree=1, n_sub=5, tone_mapping="identity",
+            spatial_lr_scale=2.0,
+        )
+        state = step_lib.init_state(params, motion_params, aux,
+                                    jax.random.PRNGKey(7))
+        fn = step_lib.make_train_step(st)
+        nu0 = np.asarray(state.motion.nu).copy()
+        for it in range(4):
+            state, metrics = fn(state, data["gts"][it % 2],
+                                jnp.int32(it % 2), data["proj"])
+        assert np.isfinite(float(metrics.loss))
+        mu_nu = np.asarray(state.adam_m.mu.nu)
+        assert np.isfinite(mu_nu).all()
+        assert np.abs(mu_nu).max() > 0.0, "nu got no gradient"
+        assert np.isfinite(np.asarray(state.motion.nu)).all()
+        assert np.abs(np.asarray(state.motion.nu) - nu0).max() > 0.0
+
     def test_curve_frozen_before_start(self):
         data = build_synthetic(jax.random.PRNGKey(8), n_cams=2)
         gcfg, rcfg = data["gcfg"], data["rcfg"]
