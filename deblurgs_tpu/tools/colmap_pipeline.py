@@ -210,23 +210,39 @@ def initialize_test_pose(session, model_path: str,
 
 
 def prepare_masks(result_path: str, mask_path: str, reverse: bool = False):
-    """Stage user masks for training and COLMAP (reference ``move_mask``,
-    ``run_colmap.py:297-339``).
+    """Stage user masks for COLMAP feature extraction (reference
+    ``move_mask``, ``run_colmap.py:297-339``).
 
-    Copies the mask images to ``<result>/masks/`` (consumed at train time
-    as per-camera alpha masks) and derives COLMAP feature-extraction masks
-    in ``<result>/colmap_masks/``: the reference keeps features where the
-    user mask is BLACK (``sum(mask, -1) == 0`` → 255) and ignores them
-    elsewhere; ``reverse`` flips that. COLMAP looks the mask up as
-    ``<image filename>.png``, so names follow the actual files in
-    ``images/`` (the reference hardcodes ``{i:05d}.jpg.png``, which only
-    matches its own jpg writer)."""
+    Copies the mask images verbatim to ``<result>/masks/`` (an archival
+    copy, as the reference keeps — training consumes alpha masks only via
+    RGBA image files, matching reference ``camera_utils.py:50-57``) and
+    derives COLMAP feature-extraction masks in ``<result>/colmap_masks/``:
+    the reference keeps features where the user mask is BLACK
+    (``sum(mask, -1) == 0`` → 255) and ignores them elsewhere; ``reverse``
+    flips that. COLMAP looks the mask up as ``<image filename>.png``, so
+    names follow the actual files in ``images/`` (the reference hardcodes
+    ``{i:05d}.jpg.png``, which only matches its own jpg writer).
+
+    Masks pair with images by matching filename stem when the stems
+    correspond; otherwise they pair by sorted order with a warning (the
+    reference pairs by order silently)."""
+    import sys
+
     import numpy as np
     from PIL import Image
 
     images_dir = os.path.join(result_path, "images")
     image_names = sorted(os.listdir(images_dir))
     mask_names = sorted(os.listdir(mask_path))
+    stem = lambda n: os.path.splitext(n)[0]
+    by_stem = {stem(m): m for m in mask_names}
+    if all(stem(i) in by_stem for i in image_names) and \
+            len(by_stem) == len(mask_names):
+        mask_names = [by_stem[stem(i)] for i in image_names]
+    elif [stem(m) for m in mask_names] != [stem(i) for i in image_names]:
+        print(f"[masks] WARNING: mask filenames in {mask_path} do not "
+              f"match image stems in {images_dir}; pairing by sorted "
+              "order — verify the correspondence", file=sys.stderr)
     if len(mask_names) != len(image_names):
         raise ValueError(
             f"{len(mask_names)} masks in {mask_path} for "

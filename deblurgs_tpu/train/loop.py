@@ -273,12 +273,22 @@ class Trainer:
                     # n_dropped path below still catches a burst that
                     # outruns the heuristic within one drain window).
                     cap_now = state.params.xyz.shape[0]
-                    if int(m.num_active) > 0.9 * cap_now:
+                    grew = False
+                    # pre-grow only while densification can still insert —
+                    # a post-densify run sitting at high occupancy would
+                    # otherwise pay a wasted doubling + re-jit
+                    if (it_p < self.ocfg.densify_until_iter
+                            and int(m.num_active) > 0.9 * cap_now):
                         print(f"[capacity] → {cap_now * 2} (pre-grow: "
                               f"{int(m.num_active)} active > 90% of "
                               f"{cap_now})")
                         state = grow_capacity(state, cap_now * 2)
-                    if int(m.densify.n_dropped) > 0:
+                        grew = True
+                    # the reactive path recovers a burst that outran the
+                    # heuristic — but not twice for the same drained entry
+                    # (a near-full + dropped-insertions entry would
+                    # quadruple capacity in one drain)
+                    if int(m.densify.n_dropped) > 0 and not grew:
                         new_cap = state.params.xyz.shape[0] * 2
                         print(f"[capacity] → {new_cap} "
                               f"(dropped {int(m.densify.n_dropped)})")

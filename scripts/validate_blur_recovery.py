@@ -123,8 +123,8 @@ def main():
     ap.add_argument("--baseline_sharp", type=float, default=None,
                     help="no-curve blurry-fit baseline sharp PSNR (dB). "
                          "When set, PASS requires gauge-fair sharp >= "
-                         "baseline + 3 dB AND traj_err <= traj_err_init "
-                         "(the round-2 verdict's acceptance criterion); "
+                         "baseline + 3 dB AND gauge-aligned traj_err <= "
+                         "gauge-aligned init err (like-for-like); "
                          "otherwise the legacy absolute 24 dB gate applies")
     ap.add_argument("--gt_oversample", type=int, default=1,
                     help="synthesize the blurry GT from n_sub*K uniform "
@@ -132,6 +132,15 @@ def main():
                          "exposure blur instead of the model's discrete "
                          "sub-frame grid — the realistic, non-gameable "
                          "setting)")
+    ap.add_argument("--ckpt_every", type=int, default=0,
+                    help="rolling TrainState checkpoint cadence (keeps the "
+                         "last two under <report-or-save_state stem>_ckpt_"
+                         "<it>.npz — forensics/bisect support; 0 = off)")
+    ap.add_argument("--curve_alignment_lr", type=float, default=0.0,
+                    help="alignment (nu) LR (reference default 0.0, "
+                         "suggested 3e-3; warms up from curve_align_start)")
+    ap.add_argument("--curve_align_start", type=int, default=0,
+                    help="alignment LR warmup start iteration")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -283,6 +292,8 @@ def main():
         curve_controlpoints_lr=1e-2 * args.curve_lr_mult,
         curve_rotation_lr=1e-3 * args.curve_lr_mult,
         curve_lr_half_iter=max(int(args.iters * args.curve_half_frac), 1),
+        curve_alignment_lr=args.curve_alignment_lr,
+        curve_alignment_start=args.curve_align_start,
         clip_grad=args.clip_grad,
         **{"position_lr_init": args.pos_lr,
            "position_lr_final": args.pos_lr / 100.0,
@@ -366,6 +377,11 @@ def main():
             _, c_t = motion_lib.sample_c2w(true_motion, i, ts, mcfg)
             c_ls.append(np.asarray(c_l))
             c_ts.append(np.asarray(c_t))
+        if not np.isfinite(np.concatenate(c_ls)).all():
+            # a poisoned curve must degrade to NaN metrics, never crash
+            # the report (round 3 lost r3_meso_joint.json to an unguarded
+            # SVD on NaN centers)
+            return float("nan")
         if align_gauge:
             A = np.concatenate(c_ls)           # learned [n*16, 3]
             B = np.concatenate(c_ts)           # true
@@ -382,6 +398,22 @@ def main():
                                  jnp.asarray(c_t - c_t.mean(0))))
         return float(np.mean(errs))
 
+    def _state_finite(state):
+        """Cheap device-side all-leaves-finite check (one scalar sync)."""
+        leaves = (jax.tree.leaves(state.params) + jax.tree.leaves(state.motion))
+        ok = jnp.array(True)
+        for l in leaves:
+            if jnp.issubdtype(l.dtype, jnp.floating):
+                ok = ok & jnp.isfinite(l).all()
+        return bool(ok)
+
+    ckpt_stem = None
+    if args.ckpt_every > 0:
+        base = args.save_state or args.report or "runs/validate"
+        ckpt_stem = os.path.splitext(base)[0] + "_ckpt"
+    ckpts_kept = []
+    nan_at = None
+
     t0 = time.time()
     for it in range(1, args.iters + 1):
         sh_deg = min(it // 1000, gcfg.sh_degree)
@@ -395,7 +427,30 @@ def main():
             sel = (np.arange(B) + (it - 1) * B) % args.n_cams
             sel = jnp.asarray(sel, jnp.int32)
             state, metrics = fn(state, blur_gts[sel], sel, proj)
+        if ckpt_stem and it % args.ckpt_every == 0:
+            from deblurgs_tpu.train import checkpoint as ckpt_lib
+            p = f"{ckpt_stem}_{it}.npz"
+            ckpt_lib.save_checkpoint(p, state)
+            ckpts_kept.append(p)
+            while len(ckpts_kept) > 2:
+                old = ckpts_kept.pop(0)
+                if os.path.exists(old):
+                    os.remove(old)
         if it % 200 == 0 or it == args.iters:
+            # ---- NaN guard: a poisoned state must abort (with a state
+            # dump for forensics), not burn hours training garbage
+            # (round 3 trained 13k iterations past the NaN onset)
+            if (not np.isfinite(float(metrics.loss))
+                    or not _state_finite(state)):
+                nan_at = it
+                from deblurgs_tpu.train import checkpoint as ckpt_lib
+                base = args.save_state or args.report or "runs/validate"
+                dump = os.path.splitext(base)[0] + f"_nanstate_it{it}.npz"
+                ckpt_lib.save_checkpoint(dump, state)
+                print(f"!! non-finite loss/params detected at the it={it} "
+                      f"sync (onset within the last 200 steps) — state "
+                      f"dumped to {dump}; aborting", flush=True)
+                break
             tr_err = traj_error(state.motion)
             print(f"it {it}: blur-l1={float(metrics.l1):.4f} "
                   f"psnr(blur)={float(metrics.psnr):.2f} "
@@ -408,7 +463,7 @@ def main():
     final_sharp = sharp_psnr(state)
     final_mid = sharp_mid_psnr(state)
     refined_sharp = None
-    if args.pose_refine_iters > 0:
+    if args.pose_refine_iters > 0 and nan_at is None:
         # reference eval protocol analog (test.py:131-186): refine each
         # evaluation pose photometrically before metrics — the joint
         # scene+curve solution is gauge-free, so the true-pose eval
@@ -486,21 +541,29 @@ def main():
           f"overflowed steps {n_overflow}")
     if args.report:
         import json
+
+        def _j(x):  # NaN is not valid JSON — encode as null
+            return None if (isinstance(x, float) and not math.isfinite(x)) else x
+
         with open(args.report, "w") as fp:
             json.dump({
-                "sharp_psnr": final_sharp, "traj_err": tr_err,
-                "traj_err_init": init_err,
-                "traj_err_aligned": tr_err_al,
-                "traj_err_aligned_init": init_err_al,
+                "sharp_psnr": _j(final_sharp), "traj_err": _j(tr_err),
+                "traj_err_init": _j(init_err),
+                "traj_err_aligned": _j(tr_err_al),
+                "traj_err_aligned_init": _j(init_err_al),
                 "overflow_steps": n_overflow,
                 "final_points": int(state.aux.active.sum()),
-                "sharp_psnr_midcam": final_mid,
-                "sharp_psnr_pose_refined": refined_sharp,
+                "sharp_psnr_midcam": _j(final_mid),
+                "sharp_psnr_pose_refined": _j(refined_sharp),
+                "nan_at": nan_at,
                 "iters": args.iters, "n_cams": args.n_cams,
                 "n_sub": args.n_sub, "size": args.size,
                 "no_curve": args.no_curve, "no_densify": args.no_densify,
                 "args": {k: v for k, v in vars(args).items()},
             }, fp)
+    if nan_at is not None:
+        print(f"VALIDATION ABORTED (non-finite state at it {nan_at})")
+        return 2
     if args.freeze_scene:
         ok = tr_err < 0.6 * init_err
     else:
@@ -510,12 +573,15 @@ def main():
         best_sharp = max(final_sharp, final_mid,
                          refined_sharp or final_sharp)
         if args.baseline_sharp is not None:
+            # like-for-like: both trajectory errors gauge-aligned (the
+            # un-aligned init error is strictly larger, which would bias
+            # the gate toward PASS)
             ok = (best_sharp >= args.baseline_sharp + 3.0
-                  and tr_err_al <= init_err)
+                  and tr_err_al <= init_err_al)
             print(f"criteria: gauge-fair sharp {best_sharp:.2f} vs "
                   f"baseline+3 = {args.baseline_sharp + 3.0:.2f}; "
-                  f"gauge-aligned traj_err {tr_err_al:.4f} vs init "
-                  f"{init_err:.4f}")
+                  f"gauge-aligned traj_err {tr_err_al:.4f} vs aligned init "
+                  f"{init_err_al:.4f}")
         else:
             ok = best_sharp > 24.0
     print("VALIDATION", "PASSED" if ok else "FAILED")
