@@ -1,0 +1,37 @@
+#!/bin/bash
+# Round-4 gate-satisfiability calibration (cheap): measures the
+# oracle - nocurve sharp-PSNR separation at a reduced scale (8 cams, 6k
+# iters) under the r4 meso physics (blur_scale 0.7, capacity_mult 12,
+# continuous-exposure GT) BEFORE committing hours to the full 16-cam/20k
+# arms. VERDICT r3 missing #2: the +3 dB joint gate is only meaningful on
+# a scene where perfect curves buy >= 3 dB.
+set -u
+cd /root/repo
+
+CAL="--size 128 --n_cams 8 --n_sub 21 --iters 6000 \
+  --blur_scale 0.7 --gt_oversample 3 --max_pairs $((1<<21)) \
+  --tile 32 --layout mixed --capacity_mult 12 --pose_refine_iters 150"
+
+for arm in nocurve oracle; do
+  extra=""
+  [ $arm = nocurve ] && extra="--no_curve"
+  [ $arm = oracle ] && extra="--init_true_curves --curve_lr_mult 0 --init_noise 0 --curve_start 1"
+  echo "=== cal $arm"
+  timeout 5000 python scripts/validate_blur_recovery.py $CAL $extra \
+    --report "runs/r4_cal_${arm}.json" > "runs/r4_cal_${arm}.log" 2>&1
+  rc=$?
+  if [ ! -f "runs/r4_cal_${arm}.json" ]; then
+    echo "CAL ARM $arm FAILED (rc=$rc)"; exit 3
+  fi
+  tail -3 "runs/r4_cal_${arm}.log"
+done
+
+python - <<'EOF'
+import json
+def best(p):
+    d = json.load(open(p))
+    return max(v for v in [d.get("sharp_psnr"), d.get("sharp_psnr_midcam"),
+                           d.get("sharp_psnr_pose_refined")] if v is not None)
+b, o = best('runs/r4_cal_nocurve.json'), best('runs/r4_cal_oracle.json')
+print(f"CAL: nocurve {b:.2f} dB, oracle {o:.2f} dB, separation {o-b:.2f} dB")
+EOF
