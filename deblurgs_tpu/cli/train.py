@@ -41,6 +41,9 @@ def build_configs(lp, op):
         need_n_contrib=False,  # diagnostic-only output; skip in training
         window=lp.window, layout=lp.kernel_layout,
         tile_cull=lp.tile_cull, tight_rect=lp.tight_rect,
+        # Mosaic only compiles on TPU; on CPU the pallas backend runs the
+        # (slow, test-grade) interpreter instead of erroring out
+        interpret=jax.default_backend() == "cpu",
     )
     return gcfg, mcfg, ocfg, rcfg
 

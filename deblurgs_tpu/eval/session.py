@@ -60,12 +60,17 @@ def load_session(model_path: str, source_path: str | None = None,
         curve_order=args.curve_order, n_subframes=args.num_subframes,
         curve_type=args.curve_type,
     )
+    import jax
+
     rcfg = RasterizeConfig(
         backend=backend or getattr(args, "backend", "xla"),
         max_pairs=getattr(args, "max_pairs", 1 << 19),
         tile_w=getattr(args, "tile", 16), tile_h=getattr(args, "tile", 16),
         window=getattr(args, "window", 1),
+        layout=getattr(args, "kernel_layout", "lockstep"),
         cull_z=gcfg.z_near, z_far=gcfg.z_far, use_sigmoid=use_sigmoid,
+        # pallas on CPU = interpreter (Mosaic is TPU-only)
+        interpret=jax.default_backend() == "cpu",
     )
     scene = Scene(
         source, model_path=None,

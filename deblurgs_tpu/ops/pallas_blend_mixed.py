@@ -64,8 +64,11 @@ _FLAGS_R = 4      # bit0 = first step binding the even block (FVE)
                   # bit1 = first step binding the odd block (FVO)
                   # bit2 = first visit of this chunk (CF)
                   # bit3 = real step (ALIVE; static-grid tail gating)
+                  # bit4 = single-segment continuation (SS): every lane of
+                  #        the chunk belongs to the carry tile — the only
+                  #        shape where the early-exit skip is sound
 _CT_R = 5         # carry tile: tile id of the previous chunk's last slot
-_FVE_BIT, _FVO_BIT, _CF_BIT, _ALIVE_BIT = 1, 2, 4, 8
+_FVE_BIT, _FVO_BIT, _CF_BIT, _ALIVE_BIT, _SS_BIT = 1, 2, 4, 8, 16
 
 
 def _flag(sm_ref, c, bit):
@@ -149,8 +152,17 @@ def prepare_mixed(cfg, fields, s_tile, s_gc, ids, n_emit,
     ct = jnp.concatenate(
         [jnp.full(1, -1, jnp.int32), s_tile[slots[1:] - 1]])
     sct = ct[step_chunk]
+    # SS: the whole chunk continues the carry tile's segment (first AND
+    # last lane equal the carry tile — a chunk ending at the sorted-total
+    # boundary has sentinel tail lanes and fails the last-lane test, which
+    # is the conservative/correct outcome). SS chunks span one tile, so
+    # they always get exactly one visit (b_lo == b_hi).
+    last_raw = jnp.minimum(slots + CHUNK - 1, max_pairs - 1)
+    ss = (has & (s_tile[slots] == ct)
+          & (s_tile[last_raw] == ct)).astype(jnp.int32)
+    sss = ss[step_chunk]
     flags = (fv_e * _FVE_BIT + fv_o * _FVO_BIT
-             + chunk_first * _CF_BIT + alive * _ALIVE_BIT)
+             + chunk_first * _CF_BIT + alive * _ALIVE_BIT + sss * _SS_BIT)
     smap = jnp.stack([step_chunk, se, so, b_start, flags, sct])  # [6, NS]
 
     start_pad = jnp.pad(tile_start.astype(jnp.int32),
@@ -368,43 +380,64 @@ def _forward_kernel(cfg, sm_ref, st_ref, f_ref, *refs):
         def _():
             u_ent[...] = u_pend[...]
 
-        data = f_ref[...]
-        carry_f = jnp.float32(sm_ref[_CT_R, c])
-        cr = _mixed_core(cfg, data, carry_f, u_ent[...])
-        u_pend[...] = cr["P_run"][:, CHUNK - 1:]
+        # chunk-level early exit (the CUDA per-pixel T<1e-4 termination
+        # analog, forward.cu:339-341/373): a single-segment-continuation
+        # chunk whose carried transmittance is saturated at EVERY pixel is
+        # EXACTLY inert — eligibility gates every contribution on
+        # P_run >= _T_EPS and products only shrink within a segment, so
+        # weights, frozen-T candidates and n_contrib are all unreachable,
+        # and carrying u_ent forward keeps every later lane of the segment
+        # dead. Skipping saves the whole per-chunk VPU/MXU volume; in a
+        # saturated scene most of each heavy tile's sorted tail is dead.
+        skip = jnp.logical_and(_flag(sm_ref, c, _SS_BIT),
+                               jnp.max(u_ent[...]) < _T_EPS)
 
-        # frozen-T candidates: running product at each pixel's last live
-        # lane of its segment (monotone products -> min across chunks)
-        livef = cr["live"].astype(jnp.float32)
-        live_next = _shift_left(livef)
-        lastlive = livef * jnp.maximum(
-            1.0 - live_next, cr["seg_end"].astype(jnp.float32))
-        PL = cr["P_run"] * lastlive                        # [PX, CHUNK]
-
-        b_start = sm_ref[_BSTART_R, c]
-        oh_lo, oh_hi = _onehot(cr["trow"], b_start, W)
-        even_lower = (b_start % 2) == 0
-        pos1 = compf = None
-        if cfg.need_n_contrib:
-            pos1 = (jnp.float32(sm_ref[_CHUNK_R, c] * CHUNK) + 1.0
-                    + jax.lax.broadcasted_iota(
-                        jnp.int32, (1, CHUNK), 1).astype(jnp.float32))
-            compf = cr["comp"].astype(jnp.float32)
-
-        # the even buffer holds the LOWER block iff b_start is even
-        @pl.when(even_lower)
+        @pl.when(jnp.logical_not(skip))
         def _():
-            _emit(cfg, cd_e, t_e, nc_e, oh_lo, b_start, data, cr, PL,
-                  st_ref, pos1, compf)
-            _emit(cfg, cd_o, t_o, nc_o, oh_hi, b_start + 1, data, cr, PL,
-                  st_ref, pos1, compf)
+            _forward_chunk_body(cfg, sm_ref, st_ref, f_ref, cd_e, t_e, nc_e,
+                                cd_o, t_o, nc_o, u_ent, u_pend, c)
 
-        @pl.when(jnp.logical_not(even_lower))
-        def _():
-            _emit(cfg, cd_o, t_o, nc_o, oh_lo, b_start, data, cr, PL,
-                  st_ref, pos1, compf)
-            _emit(cfg, cd_e, t_e, nc_e, oh_hi, b_start + 1, data, cr, PL,
-                  st_ref, pos1, compf)
+
+def _forward_chunk_body(cfg, sm_ref, st_ref, f_ref, cd_e, t_e, nc_e,
+                        cd_o, t_o, nc_o, u_ent, u_pend, c):
+    W = cfg.window
+    data = f_ref[...]
+    carry_f = jnp.float32(sm_ref[_CT_R, c])
+    cr = _mixed_core(cfg, data, carry_f, u_ent[...])
+    u_pend[...] = cr["P_run"][:, CHUNK - 1:]
+
+    # frozen-T candidates: running product at each pixel's last live
+    # lane of its segment (monotone products -> min across chunks)
+    livef = cr["live"].astype(jnp.float32)
+    live_next = _shift_left(livef)
+    lastlive = livef * jnp.maximum(
+        1.0 - live_next, cr["seg_end"].astype(jnp.float32))
+    PL = cr["P_run"] * lastlive                        # [PX, CHUNK]
+
+    b_start = sm_ref[_BSTART_R, c]
+    oh_lo, oh_hi = _onehot(cr["trow"], b_start, W)
+    even_lower = (b_start % 2) == 0
+    pos1 = compf = None
+    if cfg.need_n_contrib:
+        pos1 = (jnp.float32(sm_ref[_CHUNK_R, c] * CHUNK) + 1.0
+                + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, CHUNK), 1).astype(jnp.float32))
+        compf = cr["comp"].astype(jnp.float32)
+
+    # the even buffer holds the LOWER block iff b_start is even
+    @pl.when(even_lower)
+    def _():
+        _emit(cfg, cd_e, t_e, nc_e, oh_lo, b_start, data, cr, PL,
+              st_ref, pos1, compf)
+        _emit(cfg, cd_o, t_o, nc_o, oh_hi, b_start + 1, data, cr, PL,
+              st_ref, pos1, compf)
+
+    @pl.when(jnp.logical_not(even_lower))
+    def _():
+        _emit(cfg, cd_o, t_o, nc_o, oh_lo, b_start, data, cr, PL,
+              st_ref, pos1, compf)
+        _emit(cfg, cd_e, t_e, nc_e, oh_hi, b_start + 1, data, cr, PL,
+              st_ref, pos1, compf)
 
 
 def forward_mixed(cfg, prep: PreparedMixed):
@@ -511,88 +544,24 @@ def _backward_kernel(cfg, sm_ref, st_ref, f_ref, dl_e, dl_o, bgd_e, bgd_o,
             u_ent[...] = u_pend[...]
             w_ent[...] = w_pend[...]
 
-        data = f_ref[...]
-        carry_f = jnp.float32(sm_ref[_CT_R, c])
-        cr = _mixed_core(cfg, data, carry_f, u_ent[...], need_G=True)
-        u_pend[...] = cr["P_run"][:, CHUNK - 1:]
+        # chunk-level early exit mirroring the forward (see
+        # _forward_kernel): a dead single-segment-continuation chunk has
+        # comp ≡ false, so every pair grad is exactly zero, dlW reduces to
+        # the broadcast w_ent carry (fs is all-true under SS), and both
+        # scratch carries pass through unchanged — only the zero grads
+        # block needs writing (its out-block is fresh per chunk).
+        skip = jnp.logical_and(_flag(sm_ref, c, _SS_BIT),
+                               jnp.max(u_ent[...]) < _T_EPS)
 
-        b_start = sm_ref[_BSTART_R, c]
-        oh_lo, oh_hi = _onehot(cr["trow"], b_start, W)
-        even_lower = (b_start % 2) == 0
-        # the even buffer holds the lower block iff b_start is even; build
-        # both (lower, upper) routed quantities from the matching buffers
-        dl_eb = dl_e[0]                                    # [4W, PX]
-        dl_ob = dl_o[0]
-        bgd_eb = bgd_e[0]                                  # [PX, W]
-        bgd_ob = bgd_o[0]
-        sel = even_lower
-        dl_lo = jnp.where(sel, dl_eb, dl_ob)
-        dl_hi = jnp.where(sel, dl_ob, dl_eb)
-        bgd_lo = jnp.where(sel, bgd_eb, bgd_ob)
-        bgd_hi = jnp.where(sel, bgd_ob, bgd_eb)
+        @pl.when(skip)
+        def _():
+            grads_out[...] = prev
 
-        def cexp(oh):
-            return jnp.concatenate(
-                [oh[w:w + 1, :] * data[6 + ch:7 + ch, :]
-                 for w in range(W) for ch in range(4)], axis=0)
-
-        ce_lo, ce_hi = cexp(oh_lo), cexp(oh_hi)
-        dot_pc = functools.partial(
-            jax.lax.dot_general, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dl_dot_c = dot_pc(dl_lo, ce_lo) + dot_pc(dl_hi, ce_hi)  # [PX, CHUNK]
-        dot_bg = functools.partial(
-            jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        bg_cols = dot_bg(bgd_lo, oh_lo) + dot_bg(bgd_hi, oh_hi)
-
-        wgt = cr["w"]
-        wc = wgt * dl_dot_c
-        dlW = _prefix_masked(wc, cr["m2in"]) + jnp.where(
-            cr["fs"], w_ent[...], 0.0)
-        w_pend[...] = dlW[:, CHUNK - 1:]
-        S = bg_cols - dlW
-        dL_dalpha = jnp.where(
-            cr["comp"], dl_dot_c * cr["P_prev"] - S / cr["mult"], 0.0)
-
-        N = cr["G"] * dL_dalpha
-        mom = jax.lax.dot_general(
-            cr["pf"], N, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # [8, CHUNK]
-        xl, yl = cr["xl"], cr["yl"]
-        ca, cb, ccc, opac = cr["ca"], cr["cb"], cr["cc"], cr["opac"]
-        M0 = opac * mom[0:1, :]
-        M1 = opac * mom[1:2, :]
-        M2_ = opac * mom[2:3, :]
-        M3 = opac * mom[3:4, :]
-        M4 = opac * mom[4:5, :]
-        M5 = opac * mom[5:6, :]
-        Sx = xl * M0 - M1
-        Sy = yl * M0 - M2_
-        dmx = -ca * Sx - cb * Sy
-        dmy = -ccc * Sy - cb * Sx
-        dca = -0.5 * (xl * xl * M0 - 2.0 * xl * M1 + M3)
-        dcb = -(xl * yl * M0 - xl * M2_ - yl * M1 + M5)
-        dcc = -0.5 * (yl * yl * M0 - 2.0 * yl * M2_ + M4)
-        dop = mom[0:1, :]
-
-        # per-pair color/depth grads: route dl to columns per channel
-        dot_pw = functools.partial(
-            jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        mm_lo = dot_pw(dl_lo, wgt)                         # [4W, CHUNK]
-        mm_hi = dot_pw(dl_hi, wgt)
-        dcold = jnp.zeros((4, CHUNK), jnp.float32)
-        for w in range(W):
-            dcold = dcold + oh_lo[w:w + 1, :] * mm_lo[4 * w:4 * w + 4, :]
-            dcold = dcold + oh_hi[w:w + 1, :] * mm_hi[4 * w:4 * w + 4, :]
-
-        gout = jnp.concatenate(
-            [dmx, dmy, dca, dcb, dcc, dop, dcold,
-             jnp.zeros((NFIELD - 10, CHUNK), jnp.float32)], axis=0)
-        base_t = jnp.float32(b_start * W)
-        in_win = (cr["trow"] >= base_t) & (cr["trow"] < base_t + 2 * W)
-        grads_out[...] = jnp.where(in_win, gout, prev)
+        @pl.when(jnp.logical_not(skip))
+        def _():
+            _backward_chunk_body(cfg, sm_ref, st_ref, f_ref, dl_e, dl_o,
+                                 bgd_e, bgd_o, grads_out, u_ent, u_pend,
+                                 w_ent, w_pend, c, prev)
 
     @pl.when(jnp.logical_and(jnp.logical_not(_flag(sm_ref, c, _ALIVE_BIT)),
                              chunk_first))
@@ -601,6 +570,95 @@ def _backward_kernel(cfg, sm_ref, st_ref, f_ref, dl_e, dl_o, bgd_e, bgd_o,
         # region; this only fires for the clamped tail, where writing the
         # zeroed prev keeps the block deterministic
         grads_out[...] = prev
+
+
+def _backward_chunk_body(cfg, sm_ref, st_ref, f_ref, dl_e, dl_o, bgd_e,
+                         bgd_o, grads_out, u_ent, u_pend, w_ent, w_pend,
+                         c, prev):
+    W = cfg.window
+    data = f_ref[...]
+    carry_f = jnp.float32(sm_ref[_CT_R, c])
+    cr = _mixed_core(cfg, data, carry_f, u_ent[...], need_G=True)
+    u_pend[...] = cr["P_run"][:, CHUNK - 1:]
+
+    b_start = sm_ref[_BSTART_R, c]
+    oh_lo, oh_hi = _onehot(cr["trow"], b_start, W)
+    even_lower = (b_start % 2) == 0
+    # the even buffer holds the lower block iff b_start is even; build
+    # both (lower, upper) routed quantities from the matching buffers
+    dl_eb = dl_e[0]                                    # [4W, PX]
+    dl_ob = dl_o[0]
+    bgd_eb = bgd_e[0]                                  # [PX, W]
+    bgd_ob = bgd_o[0]
+    sel = even_lower
+    dl_lo = jnp.where(sel, dl_eb, dl_ob)
+    dl_hi = jnp.where(sel, dl_ob, dl_eb)
+    bgd_lo = jnp.where(sel, bgd_eb, bgd_ob)
+    bgd_hi = jnp.where(sel, bgd_ob, bgd_eb)
+
+    def cexp(oh):
+        return jnp.concatenate(
+            [oh[w:w + 1, :] * data[6 + ch:7 + ch, :]
+             for w in range(W) for ch in range(4)], axis=0)
+
+    ce_lo, ce_hi = cexp(oh_lo), cexp(oh_hi)
+    dot_pc = functools.partial(
+        jax.lax.dot_general, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dl_dot_c = dot_pc(dl_lo, ce_lo) + dot_pc(dl_hi, ce_hi)  # [PX, CHUNK]
+    dot_bg = functools.partial(
+        jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    bg_cols = dot_bg(bgd_lo, oh_lo) + dot_bg(bgd_hi, oh_hi)
+
+    wgt = cr["w"]
+    wc = wgt * dl_dot_c
+    dlW = _prefix_masked(wc, cr["m2in"]) + jnp.where(
+        cr["fs"], w_ent[...], 0.0)
+    w_pend[...] = dlW[:, CHUNK - 1:]
+    S = bg_cols - dlW
+    dL_dalpha = jnp.where(
+        cr["comp"], dl_dot_c * cr["P_prev"] - S / cr["mult"], 0.0)
+
+    N = cr["G"] * dL_dalpha
+    mom = jax.lax.dot_general(
+        cr["pf"], N, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [8, CHUNK]
+    xl, yl = cr["xl"], cr["yl"]
+    ca, cb, ccc, opac = cr["ca"], cr["cb"], cr["cc"], cr["opac"]
+    M0 = opac * mom[0:1, :]
+    M1 = opac * mom[1:2, :]
+    M2_ = opac * mom[2:3, :]
+    M3 = opac * mom[3:4, :]
+    M4 = opac * mom[4:5, :]
+    M5 = opac * mom[5:6, :]
+    Sx = xl * M0 - M1
+    Sy = yl * M0 - M2_
+    dmx = -ca * Sx - cb * Sy
+    dmy = -ccc * Sy - cb * Sx
+    dca = -0.5 * (xl * xl * M0 - 2.0 * xl * M1 + M3)
+    dcb = -(xl * yl * M0 - xl * M2_ - yl * M1 + M5)
+    dcc = -0.5 * (yl * yl * M0 - 2.0 * yl * M2_ + M4)
+    dop = mom[0:1, :]
+
+    # per-pair color/depth grads: route dl to columns per channel
+    dot_pw = functools.partial(
+        jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    mm_lo = dot_pw(dl_lo, wgt)                         # [4W, CHUNK]
+    mm_hi = dot_pw(dl_hi, wgt)
+    dcold = jnp.zeros((4, CHUNK), jnp.float32)
+    for w in range(W):
+        dcold = dcold + oh_lo[w:w + 1, :] * mm_lo[4 * w:4 * w + 4, :]
+        dcold = dcold + oh_hi[w:w + 1, :] * mm_hi[4 * w:4 * w + 4, :]
+
+    gout = jnp.concatenate(
+        [dmx, dmy, dca, dcb, dcc, dop, dcold,
+         jnp.zeros((NFIELD - 10, CHUNK), jnp.float32)], axis=0)
+    base_t = jnp.float32(b_start * W)
+    in_win = (cr["trow"] >= base_t) & (cr["trow"] < base_t + 2 * W)
+    grads_out[...] = jnp.where(in_win, gout, prev)
+
 
 
 def backward_mixed(cfg, prep: PreparedMixed, num_gaussians, bg,

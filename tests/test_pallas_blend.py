@@ -408,3 +408,93 @@ class TestIndefiniteConicGrads:
         img = np.asarray(out[0])
         assert np.isfinite(img).all()
         np.testing.assert_allclose(img.sum(), float(val_x), rtol=1e-5)
+
+
+class TestMixedChunkSkip:
+    """Chunk-level early exit (the CUDA T<1e-4 termination analog): a
+    saturated single-segment-continuation chunk is skipped entirely. The
+    skip must (a) actually ENGAGE on a saturating scene — asserted via the
+    SS bits of the recorded step map plus everywhere-frozen final_T — and
+    (b) be EXACT: image, depth, final_T and every gradient match the XLA
+    sequential reference bit-for-bit-close."""
+
+    def _scene(self):
+        # 700 copies of one fat opaque splat covering the whole frame:
+        # every tile owns ~5-6 chunks of pairs and every pixel's T crosses
+        # 1e-4 within the first chunk, so chunks 2+ of each tile are
+        # single-segment continuations with a dead carry -> skipped.
+        cam, cs, _ = make_camera(width=64, height=32)
+        n = 700
+        key = jax.random.PRNGKey(9)
+        means = 0.05 * jax.random.normal(key, (n, 3))
+        scales = jnp.full((n, 3), 2.5)
+        rots = jnp.tile(jnp.array([1.0, 0, 0, 0]), (n, 1))
+        opac = jnp.full((n,), 0.9)
+        shs = jax.random.normal(jax.random.PRNGKey(10), (n, 4, 3)) * 0.3
+        bg = jnp.array([0.3, 0.1, 0.5])
+        return cam, cs, means, scales, rots, opac, shs, bg
+
+    def test_skip_engages_and_is_exact(self, monkeypatch):
+        from deblurgs_tpu.ops import pallas_blend_mixed as mixed
+
+        cam, cs, means, scales, rots, opac, shs, bg = self._scene()
+        pl_cfg = RasterizeConfig(backend="pallas", max_pairs=1 << 13,
+                                 interpret=True, layout="mixed", window=2)
+        xla_cfg = RasterizeConfig(backend="xla", max_pairs=1 << 13,
+                                  k_max=1024)
+
+        recorded = {}
+        orig = mixed.prepare_mixed
+
+        def spy(*args, **kwargs):
+            prep = orig(*args, **kwargs)
+            recorded["smap"] = np.asarray(prep.smap)
+            return prep
+
+        monkeypatch.setattr(mixed, "prepare_mixed", spy)
+
+        w_img = jax.random.normal(jax.random.PRNGKey(3), (32, 64, 3))
+
+        def loss(cfg, means, scales, rots, opac, shs, cam):
+            out = render(means, scales, rots, opac, shs, cam, cs, bg,
+                         cfg=cfg, sh_degree=1)
+            return (jnp.sum(out.image * w_img) + 0.01 * jnp.sum(out.depth),
+                    out)
+
+        (val_pl, out_pl), g_pl = jax.value_and_grad(
+            functools.partial(loss, pl_cfg), argnums=(0, 1, 2, 3, 4, 5),
+            has_aux=True)(means, scales, rots, opac, shs, cam)
+        (val_x, out_x), g_x = jax.value_and_grad(
+            functools.partial(loss, xla_cfg), argnums=(0, 1, 2, 3, 4, 5),
+            has_aux=True)(means, scales, rots, opac, shs, cam)
+
+        # (a) skip preconditions hold: SS steps exist, and every pixel
+        # froze early (final_T is the LAST LIVE product, so it sits just
+        # above/around eps; the carry itself keeps multiplying by
+        # (1-alpha)≈0.1 per pair and is ≲ 0.1^128 ≈ 0 by each tile's
+        # second chunk — the skip therefore engages on every SS step)
+        smap = recorded["smap"]
+        flags = smap[4]
+        alive = (flags // 8) % 2 == 1
+        ss = ((flags // 16) % 2 == 1) & alive
+        assert ss.sum() >= 10, f"SS steps: {ss.sum()} of {alive.sum()} alive"
+        assert float(jnp.max(out_x.final_T)) < 1e-2
+        assert int(out_x.max_per_tile) > 2 * 128  # tiles span 3+ chunks
+
+        # (b) exactness
+        np.testing.assert_allclose(np.asarray(out_pl.image),
+                                   np.asarray(out_x.image),
+                                   atol=2e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(out_pl.final_T),
+                                   np.asarray(out_x.final_T),
+                                   atol=1e-7, rtol=1e-3)
+        np.testing.assert_allclose(float(val_pl), float(val_x), rtol=1e-4)
+        for name, a, b in zip(
+            ["means", "scales", "rots", "opac", "shs", "cam"], g_pl, g_x
+        ):
+            for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+                la, lb = np.asarray(la), np.asarray(lb)
+                scale = np.abs(lb).max() + 1e-8
+                np.testing.assert_allclose(la / scale, lb / scale,
+                                           atol=1e-4,
+                                           err_msg=f"grad mismatch: {name}")
