@@ -35,7 +35,9 @@ def main():
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--variants", type=str, default="32x1,m16x4,m32x2",
-                    help="comma list of [m]TILExWINDOW (m = mixed layout)")
+                    help="comma list of [m]TILExWINDOW or "
+                         "[m]TWxTHxWINDOW for rectangular tiles "
+                         "(m = mixed layout)")
     ap.add_argument("--bwd", action="store_true")
     ap.add_argument("--no_cull", action="store_true")
     ap.add_argument("--fat_rect", action="store_true",
@@ -54,18 +56,23 @@ def main():
         layout = "lockstep"
         if spec.startswith("m"):
             layout, spec = "mixed", spec[1:]
-        tile, window = (int(v) for v in spec.split("x"))
-        if tile not in pair_cache:
+        parts = [int(v) for v in spec.split("x")]
+        if len(parts) == 2:
+            tw = th = parts[0]
+            window = parts[1]
+        else:
+            tw, th, window = parts
+        if (tw, th) not in pair_cache:
             probe_cfg = RasterizeConfig(backend="xla", max_pairs=1 << 20,
-                                        k_max=8, tile_w=tile, tile_h=tile,
+                                        k_max=8, tile_w=tw, tile_h=th,
                                         tight_rect=tight)
             probe = jax.jit(lambda *a: render(
                 *a, cam, cs, bg, cfg=probe_cfg, sh_degree=2).num_pairs)
-            pair_cache[tile] = int(probe(*gauss))
-        num_pairs = pair_cache[tile]
+            pair_cache[(tw, th)] = int(probe(*gauss))
+        num_pairs = pair_cache[(tw, th)]
         max_pairs = max(int(num_pairs * 1.1) + 1023 & ~1023, 1 << 14)
         cfg = RasterizeConfig(backend="pallas", max_pairs=max_pairs,
-                              k_max=2048, tile_w=tile, tile_h=tile,
+                              k_max=2048, tile_w=tw, tile_h=th,
                               need_n_contrib=False, window=window,
                               layout=layout, tile_cull=not args.no_cull,
                               tight_rect=tight)
@@ -73,7 +80,7 @@ def main():
         fwd = jax.jit(lambda *a: render(*a, cam, cs, bg, cfg=cfg,
                                         sh_degree=2).image)
         dt = timeit(fwd, inputs, args.iters)
-        line = (f"{layout[:4]} tile{tile} w{window}: pairs={num_pairs} "
+        line = (f"{layout[:4]} tile{tw}x{th} w{window}: pairs={num_pairs} "
                 f"fwd {dt * 1e3:7.2f} ms ({1.0 / dt:6.1f}/s)")
         if args.bwd:
             def step(*g, _cfg=cfg):

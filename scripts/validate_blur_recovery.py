@@ -141,6 +141,10 @@ def main():
                          "suggested 3e-3; warms up from curve_align_start)")
     ap.add_argument("--curve_align_start", type=int, default=0,
                     help="alignment LR warmup start iteration")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="PRNG seed for the scene/noise/training draws "
+                         "(stability soaks rerun the joint arm across "
+                         "seeds to show a NaN class is fixed, not dodged)")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -153,7 +157,7 @@ def main():
     proj = cam_lib.get_projection_matrix(0.01, 100.0, fovx, fovx)
 
     # ---- true scene
-    key = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey(args.seed)
     ks = jax.random.split(key, 8)
     fg = jax.random.normal(ks[0], (args.n_gauss, 3)) * 0.9
     # opaque backdrop wall so every pixel is covered — the training loop uses

@@ -498,3 +498,28 @@ class TestMixedChunkSkip:
                 np.testing.assert_allclose(la / scale, lb / scale,
                                            atol=1e-4,
                                            err_msg=f"grad mismatch: {name}")
+
+
+class TestMixedLayoutRectTiles(TestPallasParity):
+    """Rectangular 16x8 tiles (tile_w != tile_h): half the pixel volume per
+    chunk at a modest pair-count increase — a perf operating point the
+    bench A/B sweeps. Parity vs the XLA backend at the SAME tile shape
+    (rect emission follows the reference's int-ceil tile-rect semantics,
+    which an oracle without rects legitimately differs from at sub-pixel
+    boundary reach)."""
+
+    PL_CFG = RasterizeConfig(backend="pallas", max_pairs=1 << 14,
+                             interpret=True, layout="mixed", window=2,
+                             tile_w=16, tile_h=8)
+    XLA_CFG = RasterizeConfig(backend="xla", max_pairs=1 << 14, k_max=512,
+                              tile_w=16, tile_h=8)
+
+
+class TestMixedLayoutRectTilesTall(TestPallasParity):
+    """8x16 (tall) tiles: the transposed rect case."""
+
+    PL_CFG = RasterizeConfig(backend="pallas", max_pairs=1 << 14,
+                             interpret=True, layout="mixed", window=1,
+                             tile_w=8, tile_h=16)
+    XLA_CFG = RasterizeConfig(backend="xla", max_pairs=1 << 14, k_max=512,
+                              tile_w=8, tile_h=16)
