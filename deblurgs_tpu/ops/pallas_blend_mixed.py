@@ -354,15 +354,16 @@ def _forward_kernel(cfg, sm_ref, st_ref, f_ref, *refs):
     W = cfg.window
     px_n = cfg.tile_px
     if cfg.need_n_contrib:
-        cd_e, t_e, nc_e, cd_o, t_o, nc_o, u_ent, u_pend = refs
+        cd_e, t_e, nc_e, cd_o, t_o, nc_o, u_ent, u_pend, dead_s = refs
     else:
-        cd_e, t_e, cd_o, t_o, u_ent, u_pend = refs
+        cd_e, t_e, cd_o, t_o, u_ent, u_pend, dead_s = refs
         nc_e = nc_o = None
     c = pl.program_id(0)
 
     @pl.when(c == 0)
     def _():
         u_pend[...] = jnp.ones((px_n, 1), jnp.float32)
+        dead_s[0] = jnp.int32(0)
 
     for cd_b, t_b, nc_b, fv_bit in (
             (cd_e, t_e, nc_e, _FVE_BIT), (cd_o, t_o, nc_o, _FVO_BIT)):
@@ -389,22 +390,30 @@ def _forward_kernel(cfg, sm_ref, st_ref, f_ref, *refs):
         # and carrying u_ent forward keeps every later lane of the segment
         # dead. Skipping saves the whole per-chunk VPU/MXU volume; in a
         # saturated scene most of each heavy tile's sorted tail is dead.
-        skip = jnp.logical_and(_flag(sm_ref, c, _SS_BIT),
-                               jnp.max(u_ent[...]) < _T_EPS)
+        # The deadness scalar lives in SMEM, written by the body together
+        # with the pending carry (one fused [PX,1] reduce when the body
+        # runs) — the per-step decision is two scalar reads, so non-SS
+        # steps pay nothing (the first, vector-max formulation cost ~7%
+        # fwd at bench scale on unsaturated scenes).
+        skip = jnp.logical_and(_flag(sm_ref, c, _SS_BIT), dead_s[0] == 1)
 
         @pl.when(jnp.logical_not(skip))
         def _():
             _forward_chunk_body(cfg, sm_ref, st_ref, f_ref, cd_e, t_e, nc_e,
-                                cd_o, t_o, nc_o, u_ent, u_pend, c)
+                                cd_o, t_o, nc_o, u_ent, u_pend, dead_s, c)
 
 
 def _forward_chunk_body(cfg, sm_ref, st_ref, f_ref, cd_e, t_e, nc_e,
-                        cd_o, t_o, nc_o, u_ent, u_pend, c):
+                        cd_o, t_o, nc_o, u_ent, u_pend, dead_s, c):
     W = cfg.window
     data = f_ref[...]
     carry_f = jnp.float32(sm_ref[_CT_R, c])
     cr = _mixed_core(cfg, data, carry_f, u_ent[...])
-    u_pend[...] = cr["P_run"][:, CHUNK - 1:]
+    pend = cr["P_run"][:, CHUNK - 1:]
+    u_pend[...] = pend
+    # deadness of the pending carry: a skipped successor chunk leaves both
+    # u_pend and this flag untouched, so the flag always describes u_pend
+    dead_s[0] = (jnp.max(pend) < _T_EPS).astype(jnp.int32)
 
     # frozen-T candidates: running product at each pixel's last live
     # lane of its segment (monotone products -> min across chunks)
@@ -485,6 +494,7 @@ def forward_mixed(cfg, prep: PreparedMixed):
         scratch_shapes=[
             pltpu.VMEM((px_n, 1), jnp.float32),
             pltpu.VMEM((px_n, 1), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     outs = pl.pallas_call(
@@ -522,7 +532,7 @@ def forward_mixed(cfg, prep: PreparedMixed):
 
 
 def _backward_kernel(cfg, sm_ref, st_ref, f_ref, dl_e, dl_o, bgd_e, bgd_o,
-                     grads_out, u_ent, u_pend, w_ent, w_pend):
+                     grads_out, u_ent, u_pend, w_ent, w_pend, dead_s):
     W = cfg.window
     px_n = cfg.tile_px
     c = pl.program_id(0)
@@ -531,6 +541,7 @@ def _backward_kernel(cfg, sm_ref, st_ref, f_ref, dl_e, dl_o, bgd_e, bgd_o,
     def _():
         u_pend[...] = jnp.ones((px_n, 1), jnp.float32)
         w_pend[...] = jnp.zeros((px_n, 1), jnp.float32)
+        dead_s[0] = jnp.int32(0)
 
     chunk_first = _flag(sm_ref, c, _CF_BIT)
     prev = jnp.where(chunk_first,
@@ -550,8 +561,7 @@ def _backward_kernel(cfg, sm_ref, st_ref, f_ref, dl_e, dl_o, bgd_e, bgd_o,
         # the broadcast w_ent carry (fs is all-true under SS), and both
         # scratch carries pass through unchanged — only the zero grads
         # block needs writing (its out-block is fresh per chunk).
-        skip = jnp.logical_and(_flag(sm_ref, c, _SS_BIT),
-                               jnp.max(u_ent[...]) < _T_EPS)
+        skip = jnp.logical_and(_flag(sm_ref, c, _SS_BIT), dead_s[0] == 1)
 
         @pl.when(skip)
         def _():
@@ -561,7 +571,7 @@ def _backward_kernel(cfg, sm_ref, st_ref, f_ref, dl_e, dl_o, bgd_e, bgd_o,
         def _():
             _backward_chunk_body(cfg, sm_ref, st_ref, f_ref, dl_e, dl_o,
                                  bgd_e, bgd_o, grads_out, u_ent, u_pend,
-                                 w_ent, w_pend, c, prev)
+                                 w_ent, w_pend, dead_s, c, prev)
 
     @pl.when(jnp.logical_and(jnp.logical_not(_flag(sm_ref, c, _ALIVE_BIT)),
                              chunk_first))
@@ -574,12 +584,14 @@ def _backward_kernel(cfg, sm_ref, st_ref, f_ref, dl_e, dl_o, bgd_e, bgd_o,
 
 def _backward_chunk_body(cfg, sm_ref, st_ref, f_ref, dl_e, dl_o, bgd_e,
                          bgd_o, grads_out, u_ent, u_pend, w_ent, w_pend,
-                         c, prev):
+                         dead_s, c, prev):
     W = cfg.window
     data = f_ref[...]
     carry_f = jnp.float32(sm_ref[_CT_R, c])
     cr = _mixed_core(cfg, data, carry_f, u_ent[...], need_G=True)
-    u_pend[...] = cr["P_run"][:, CHUNK - 1:]
+    pend = cr["P_run"][:, CHUNK - 1:]
+    u_pend[...] = pend
+    dead_s[0] = (jnp.max(pend) < _T_EPS).astype(jnp.int32)
 
     b_start = sm_ref[_BSTART_R, c]
     oh_lo, oh_hi = _onehot(cr["trow"], b_start, W)
@@ -714,6 +726,7 @@ def backward_mixed(cfg, prep: PreparedMixed, num_gaussians, bg,
             pltpu.VMEM((px_n, 1), jnp.float32),
             pltpu.VMEM((px_n, 1), jnp.float32),
             pltpu.VMEM((px_n, 1), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     (pair_grads,) = pl.pallas_call(

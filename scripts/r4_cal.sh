@@ -15,7 +15,7 @@ CAL="--size 128 --n_cams 8 --n_sub 21 --iters 6000 \
 for arm in nocurve oracle; do
   extra=""
   [ $arm = nocurve ] && extra="--no_curve"
-  [ $arm = oracle ] && extra="--init_true_curves --curve_lr_mult 0 --init_noise 0 --curve_start 1"
+  [ $arm = oracle ] && extra="--batched --init_true_curves --curve_lr_mult 0 --init_noise 0 --curve_start 1"
   echo "=== cal $arm"
   timeout 5000 python scripts/validate_blur_recovery.py $CAL $extra \
     --report "runs/r4_cal_${arm}.json" > "runs/r4_cal_${arm}.log" 2>&1

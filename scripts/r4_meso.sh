@@ -42,7 +42,7 @@ if [ ! -f runs/r4_meso_nocurve.json ]; then
   run_arm nocurve --no_curve $REFINE
 fi
 if [ ! -f runs/r4_meso_oracle.json ]; then
-  run_arm oracle --init_true_curves --curve_lr_mult 0 --init_noise 0 \
+  run_arm oracle --batched --init_true_curves --curve_lr_mult 0 --init_noise 0 \
     --curve_start 1 $REFINE
 fi
 
@@ -73,7 +73,7 @@ if [ "$GATE_OK" != "1" ]; then
 fi
 
 if [ ! -f runs/r4_meso_joint.json ]; then
-  run_arm joint --curve_end_frac 0.67 $REFINE \
+  run_arm joint --batched --curve_end_frac 0.67 $REFINE \
     --baseline_sharp "$BASE" --save_state runs/r4_meso_state.npz
   JRC=$?
 fi
