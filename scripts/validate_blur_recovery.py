@@ -257,7 +257,15 @@ def main():
     blur_gts = jnp.stack(blur_l)
     sharp_gts = jnp.stack(sharp_l)
     jax.block_until_ready((blur_gts, sharp_gts))
-    print("  synthesis done", flush=True)
+    # the no-deblur FLOOR: how far the blurry observations already sit
+    # from the sharp truth. A baseline that only fits the blur scores ~
+    # this; oracle - floor is the maximum measurable deblurring headroom,
+    # so a scene is only a valid testbed when floor << oracle ceiling.
+    blur_floor = float(np.mean([
+        float(psnr(jnp.clip(blur_gts[i], 0, 1), jnp.clip(sharp_gts[i], 0, 1)))
+        for i in range(args.n_cams)]))
+    print(f"  synthesis done; blur-vs-sharp floor {blur_floor:.2f} dB",
+          flush=True)
 
     # ---- model init: nominal poses (no trajectory knowledge), noisy points
     if args.freeze_scene:
@@ -556,6 +564,7 @@ def main():
                 "traj_err_aligned": _j(tr_err_al),
                 "traj_err_aligned_init": _j(init_err_al),
                 "overflow_steps": n_overflow,
+                "blur_floor_psnr": _j(blur_floor),
                 "final_points": int(state.aux.active.sum()),
                 "sharp_psnr_midcam": _j(final_mid),
                 "sharp_psnr_pose_refined": _j(refined_sharp),
