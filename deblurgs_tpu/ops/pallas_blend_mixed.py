@@ -260,11 +260,14 @@ def _onehot(trow, b_start, W):
     return oh_lo, oh_hi
 
 
-def _mixed_core(cfg, data, carry_f, U, need_G=False):
+def _mixed_core(cfg, data, carry_f, U, need_G=False, need_comp=True):
     """Shared per-chunk math: eligibility, segmented products, weights.
 
     ``data``: [16, CHUNK] fields block; ``carry_f``: f32 scalar tile id of
-    the straddling segment; ``U``: [PX, 1] carried running product."""
+    the straddling segment; ``U``: [PX, 1] carried running product.
+    ``need_comp`` skips the composited mask (only n_contrib and the
+    backward consume it — one [PX, CHUNK] VPU pass saved in the shipping
+    forward)."""
     pf = base._pixel_features(cfg)
     trow = data[10:11, :]
     xl = data[0:1, :] - data[11:12, :]
@@ -308,10 +311,11 @@ def _mixed_core(cfg, data, carry_f, U, need_G=False):
     P_run = P_prev * mult
     live = P_run >= _T_EPS
     w = jnp.where(live, alpha_eff, 0.0) * P_prev
-    comp = live & elig
     out = dict(trow=trow, xl=xl, yl=yl, ca=ca, cb=cb, cc=cc, opac=opac,
-               mult=mult, P_prev=P_prev, P_run=P_run, w=w, comp=comp,
+               mult=mult, P_prev=P_prev, P_run=P_run, w=w,
                live=live, fs=fs, seg_end=seg_end, m2in=m2in, pf=pf)
+    if need_comp or need_G:
+        out["comp"] = live & elig
     if need_G:
         # G = exp(power) reconstructed from raw alpha (only accurate where
         # eligible — everywhere it feeds comp-masked gradients)
@@ -408,7 +412,8 @@ def _forward_chunk_body(cfg, sm_ref, st_ref, f_ref, cd_e, t_e, nc_e,
     W = cfg.window
     data = f_ref[...]
     carry_f = jnp.float32(sm_ref[_CT_R, c])
-    cr = _mixed_core(cfg, data, carry_f, u_ent[...])
+    cr = _mixed_core(cfg, data, carry_f, u_ent[...],
+                     need_comp=cfg.need_n_contrib)
     pend = cr["P_run"][:, CHUNK - 1:]
     u_pend[...] = pend
     # deadness of the pending carry: a skipped successor chunk leaves both
