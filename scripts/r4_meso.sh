@@ -15,8 +15,13 @@
 set -u
 cd /root/repo
 
+# scene physics from calibration v2 (scripts/r4_cal2.sh): ~2.6 px splats
+# (resolvable texture) against a ~21 px sweep — cal v1's 0.035 true_scale
+# put the texture at the Nyquist limit and the oracle matched the no-curve
+# floor exactly (runs/r4_cal_*.json)
 MESO="--size 128 --n_cams 16 --n_sub 21 --iters 20000 \
-  --blur_scale 0.7 --gt_oversample 3 --max_pairs $((1<<21)) \
+  --blur_scale 0.8 --true_scale 0.10 --gt_oversample 3 \
+  --max_pairs $((1<<21)) \
   --tile 32 --layout mixed --capacity_mult 12 --ckpt_every 1000"
 REFINE="--pose_refine_iters 300"
 

@@ -503,26 +503,29 @@ def main():
                           cam, cs, jnp.zeros(3), cfg=rcfg_eval, sh_degree=2,
                           active=state.aux.active).image
 
+        # ONE jitted step shared by every view — a per-view closure would
+        # recompile through the slow remote-compile tunnel once per view
+        # (~2-4 min each; measured 20+ min of refine overhead on an 8-view
+        # arm before hoisting)
+        def _loss_fn(p, gt):
+            img = render_pose(*p)
+            return jnp.abs(img - gt).mean()
+
+        @jax.jit
+        def _refine_step(p, st_o, lr_scale, gt):
+            l, g = jax.value_and_grad(_loss_fn)(p, gt)
+            p, st_o = optim_lib.update(
+                p, g, st_o, (5e-5 * lr_scale, 5e-4 * lr_scale))
+            return p, st_o, l
+
         def refine_one(cam0, gt):
             quat0 = rotmat_to_quat(cam0.view[:3, :3])
             trans0 = cam0.view[3, :3]
             pose = (quat0, trans0)
             st_o = optim_lib.init(pose)
-
-            def loss_fn(p):
-                img = render_pose(*p)
-                return jnp.abs(img - gt).mean()
-
-            @jax.jit
-            def stp(p, st_o, lr_scale):
-                l, g = jax.value_and_grad(loss_fn)(p)
-                p, st_o = optim_lib.update(
-                    p, g, st_o, (5e-5 * lr_scale, 5e-4 * lr_scale))
-                return p, st_o, l
-
             for e in range(args.pose_refine_iters):
                 lr_scale = jnp.float32(0.9 ** (e * 20 // max(args.pose_refine_iters, 1)))
-                pose, st_o, _ = stp(pose, st_o, lr_scale)
+                pose, st_o, _ = _refine_step(pose, st_o, lr_scale, gt)
             img = jnp.clip(render_pose(*pose), 0, 1)
             return float(psnr(img, jnp.clip(gt, 0, 1)))
 
