@@ -30,6 +30,12 @@ class ParamGroup:
             args = ["--" + key] + (["-" + key[0:1]] if shorthand else [])
             if t == bool:
                 group.add_argument(*args, default=value, action="store_true")
+                if value:
+                    # a True-default flag is a no-op under store_true; give
+                    # every such flag a --no_* opt-out (the reference has no
+                    # True-default bools so its ParamGroup never needed one)
+                    group.add_argument("--no_" + key, dest=key,
+                                       action="store_false")
             else:
                 group.add_argument(*args, default=value, type=t)
 
@@ -73,7 +79,10 @@ class ModelParams(ParamGroup):
 
         # TPU-framework additions
         self.backend = "pallas"       # "pallas" | "xla" | "oracle"
-        self.max_pairs = 1 << 19
+        self.max_pairs = 0            # pair-list capacity; 0 = auto two-pass
+                                      # sizing at train start (train/loop.py
+                                      # probes every camera's nominal view and
+                                      # budgets the full batched launch)
         # mixed-layout 32×32 kernels are the measured training optimum on
         # v5e (1080p/100k A/B, runs/r3_matrix_f32.log: fwd+bwd 45 ms vs
         # lockstep's 74 ms; window 2 best for fwd+bwd, window 1 for fwd)
@@ -82,8 +91,13 @@ class ModelParams(ParamGroup):
         self.kernel_layout = "mixed"  # pallas grid: "mixed" | "lockstep"
         self.tile_cull = True         # exact per-pair tile cull (pallas)
         self.tight_rect = True        # 1/255-ellipse AABB emission rects
-        self.batched_render = False   # all sub-frames in ONE rasterizer
-                                      # launch (requires kernel_layout=mixed)
+        self.batched_render = True    # all sub-frames in ONE rasterizer
+                                      # launch (kernel_layout=mixed). The
+                                      # measured-best operating point: the
+                                      # un-batched loop pays a full
+                                      # binning+sort per sub-frame — 6×
+                                      # slower at f=21 (BASELINE.md r4).
+                                      # Opt out with --no_batched_render.
         self.cams_per_step = 1        # B training cameras per step: every
                                       # batched camera's curve gets a fresh
                                       # Adam update each step (the reference

@@ -86,7 +86,6 @@ def main(argv=None):
             print("no test cameras available — nothing to evaluate")
             return None
 
-    res = session.scene.info.train_cameras and args.resolution
     gts = jnp.asarray(np.stack([
         load_image(c, args.resolution if args.resolution is not None else -1)
         for c in test_infos

@@ -16,6 +16,7 @@ def build_configs(lp, op):
     """CLI namespaces → framework config dataclasses."""
     from deblurgs_tpu.models.gaussians import GaussianConfig
     from deblurgs_tpu.models.motion import MotionConfig
+    from deblurgs_tpu.ops import rasterize as rasterize_mod
     from deblurgs_tpu.ops.rasterize import RasterizeConfig
     from deblurgs_tpu.train.config import OptimizationConfig
 
@@ -41,9 +42,7 @@ def build_configs(lp, op):
         need_n_contrib=False,  # diagnostic-only output; skip in training
         window=lp.window, layout=lp.kernel_layout,
         tile_cull=lp.tile_cull, tight_rect=lp.tight_rect,
-        # Mosaic only compiles on TPU; on CPU the pallas backend runs the
-        # (slow, test-grade) interpreter instead of erroring out
-        interpret=jax.default_backend() == "cpu",
+        interpret=rasterize_mod.default_interpret(),
     )
     return gcfg, mcfg, ocfg, rcfg
 
@@ -61,6 +60,16 @@ def main(argv=None):
     parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
                         default=[])
     parser.add_argument("--start_checkpoint", type=str, default=None)
+    # training observability (reference train.py:260-267: render_iterations
+    # traj dumps, default-on overview video, optional focus camera)
+    parser.add_argument("--render_iterations", nargs="+", type=int,
+                        default=[25_000, 50_000, 75_000, 100_000, 125_000,
+                                 150_000])
+    parser.add_argument("--disable_curve_visualize", action="store_true",
+                        help="skip the overview-shot visualizer (training.mp4)")
+    parser.add_argument("--vis_cam_idx", type=int, default=None,
+                        help="focus the overview on this camera's pose "
+                             "instead of the auto zoom-out search")
     parser.add_argument("--load_camera_motion_path", type=str, default=None)
     parser.add_argument("--load_path", type=str, default=None)
     parser.add_argument("--seed", type=int, default=0)
@@ -101,6 +110,9 @@ def main(argv=None):
         tone_mapping=lpe.tone_mapping_type, model_path=lpe.model_path,
         save_iterations=tuple(args.save_iterations),
         checkpoint_iterations=tuple(args.checkpoint_iterations),
+        render_iterations=tuple(args.render_iterations),
+        visualize=not args.disable_curve_visualize,
+        vis_cam_idx=args.vis_cam_idx,
         debug=args.debug,
         batched_render=lpe.batched_render,
         cams_per_step=lpe.cams_per_step,

@@ -60,17 +60,20 @@ def load_session(model_path: str, source_path: str | None = None,
         curve_order=args.curve_order, n_subframes=args.num_subframes,
         curve_type=args.curve_type,
     )
-    import jax
+    from deblurgs_tpu.ops.rasterize import default_interpret
 
+    # max_pairs <= 0 is the training CLI's "auto-size at train start"
+    # marker (resolved per-run by Trainer.autosize_max_pairs); eval renders
+    # are single-view, so the plain single-view default applies here
+    mp = getattr(args, "max_pairs", 1 << 19)
     rcfg = RasterizeConfig(
         backend=backend or getattr(args, "backend", "xla"),
-        max_pairs=getattr(args, "max_pairs", 1 << 19),
+        max_pairs=mp if mp > 0 else 1 << 19,
         tile_w=getattr(args, "tile", 16), tile_h=getattr(args, "tile", 16),
         window=getattr(args, "window", 1),
         layout=getattr(args, "kernel_layout", "lockstep"),
         cull_z=gcfg.z_near, z_far=gcfg.z_far, use_sigmoid=use_sigmoid,
-        # pallas on CPU = interpreter (Mosaic is TPU-only)
-        interpret=jax.default_backend() == "cpu",
+        interpret=default_interpret(),
     )
     scene = Scene(
         source, model_path=None,

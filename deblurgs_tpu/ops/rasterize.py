@@ -29,6 +29,22 @@ from deblurgs_tpu.ops import preprocess as pre_lib
 from deblurgs_tpu.ops import tile_blend
 
 
+def default_interpret() -> bool:
+    """Whether the Pallas backend must run in interpret mode on this host.
+
+    Mosaic kernels compile only on TPU; every other JAX backend (CPU *and*
+    GPU) gets the slow, test-grade Pallas interpreter instead of a Mosaic
+    lowering error. Logs once when the interpreter is selected so a silent
+    100x slowdown is visible in the run output.
+    """
+    interpret = jax.default_backend() != "tpu"
+    if interpret and not getattr(default_interpret, "_warned", False):
+        default_interpret._warned = True
+        print(f"[rasterize] backend {jax.default_backend()!r} is not TPU: "
+              "pallas kernels will run in the (slow) interpreter")
+    return interpret
+
+
 @dataclasses.dataclass(frozen=True)
 class RasterizeConfig:
     """Static rasterizer settings (analog of GaussianRasterizationSettings)."""

@@ -104,6 +104,8 @@ class Trainer:
     checkpoint_iterations: tuple = ()
     render_iterations: tuple = ()
     visualize: bool = False
+    vis_cam_idx: Optional[int] = None  # overview focus camera (reference
+                                       # --vis_cam_idx; None = zoom-out search)
     log_every: int = 10
     sync_every: int = 10   # host-sync cadence (each sync is a device round trip)
     on_metrics: Optional[Callable] = None
@@ -118,6 +120,16 @@ class Trainer:
                            # step each iteration; B·n_sub views per launch)
 
     def __post_init__(self):
+        if self.batched_render and not (self.rcfg.backend == "pallas"
+                                        and self.rcfg.layout == "mixed"):
+            # batched rendering stacks all views on the mixed kernel's tile
+            # axis; the xla/oracle backends (and the lockstep layout) have
+            # no batched path — fall back to per-view launches rather than
+            # erroring on the (TPU-tuned) default configuration
+            print(f"[render] backend={self.rcfg.backend!r} "
+                  f"layout={self.rcfg.layout!r} has no batched path — "
+                  "falling back to per-view rendering")
+            self.batched_render = False
         self._step_cache: dict = {}
         self.logger = EmaLogger()
         if jax.process_count() > 1:
@@ -140,7 +152,8 @@ class Trainer:
 
             self._visualizer = Visualizer(
                 self.scene, self.gcfg, self.mcfg, self.rcfg,
-                self.model_path, self.ocfg.iterations)
+                self.model_path, self.ocfg.iterations,
+                vis_cam_idx=self.vis_cam_idx)
         return self._visualizer
 
     # -- compiled-step cache keyed by the static configuration ------------
@@ -209,9 +222,52 @@ class Trainer:
                          and iteration < self.ocfg.random_sample_until)
         return sh_degree, n_sub, random_sample
 
+    def autosize_max_pairs(self, state: step_lib.TrainState) -> int:
+        """Two-pass pair-capacity sizing (``max_pairs == 0``; same scheme as
+        ``bench.py``): render every training camera's nominal pose once on a
+        cheap XLA probe config, take the worst per-view pair count, and
+        budget the whole launch — n_sub sub-frames (batched) × cams_per_step
+        views — plus headroom for densification/curve spread. The reactive
+        doubling in the train loop stays on as the fallback when growth
+        outruns the estimate."""
+        from deblurgs_tpu.core.camera import c2w_to_view, make_camera_arrays
+        from deblurgs_tpu.ops.rasterize import render
+
+        probe_cfg = dataclasses.replace(
+            self.rcfg, backend="xla", max_pairs=1 << 22, k_max=8,
+            need_n_contrib=False, interpret=False)
+
+        @jax.jit
+        def probe(params, active, rot, center):
+            rin = gm.render_inputs(params, self.gcfg)
+            cam = make_camera_arrays(c2w_to_view(rot, center), self._proj)
+            out = render(rin["means3d"], rin["scales"], rin["rotations"],
+                         rin["opacities"], rin["shs"], cam,
+                         self.scene.camera_static, jnp.zeros(3),
+                         cfg=probe_cfg, sh_degree=self.gcfg.sh_degree,
+                         active=active)
+            return out.num_pairs
+
+        rots = jnp.asarray(self.scene.rotations, jnp.float32)
+        centers = jnp.asarray(self.scene.centers, jnp.float32)
+        per_view = max(
+            int(probe(state.params, state.aux.active, rots[i], centers[i]))
+            for i in range(rots.shape[0]))
+        n_views = ((self.mcfg.n_subframes if self.batched_render else 1)
+                   * self.cams_per_step)
+        budget = int(per_view * n_views * 1.5)
+        max_pairs = 1 << max(16, int(np.ceil(np.log2(max(budget, 1)))))
+        print(f"[pairs] auto-sized max_pairs = {max_pairs} "
+              f"(probe worst {per_view} pairs/view × {n_views} views "
+              f"× 1.5 headroom)")
+        return max_pairs
+
     def train(self, state: step_lib.TrainState, first_iter: int = 1,
               iterations: int | None = None, mesh=None) -> step_lib.TrainState:
         iterations = iterations or self.ocfg.iterations
+        if self.rcfg.max_pairs <= 0:
+            self.rcfg = dataclasses.replace(
+                self.rcfg, max_pairs=self.autosize_max_pairs(state))
         rcfg = self.rcfg
         for iteration in range(first_iter, iterations + 1):
             t0 = time.time()
@@ -327,7 +383,8 @@ class Trainer:
             if self.visualize and self.model_path:
                 self._get_visualizer().run(iteration, state)
             if self.model_path and iteration in self.render_iterations:
-                self._get_visualizer().traj_render(iteration, state)
+                self._get_visualizer().traj_render(
+                    iteration, state, cam_idx=self.vis_cam_idx or 0)
                 self._get_visualizer().visualize_alignment(iteration, state)
 
         if self.visualize and self._visualizer is not None:

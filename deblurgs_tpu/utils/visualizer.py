@@ -29,10 +29,14 @@ from deblurgs_tpu.ops.rasterize import render
 class Visualizer:
     def __init__(self, scene, gcfg, mcfg, rcfg, model_path: str,
                  total_iterations: int, n_shots: int = 200,
-                 sh_degree: int | None = None):
+                 sh_degree: int | None = None,
+                 vis_cam_idx: int | None = None):
         self.scene = scene
         self.gcfg, self.mcfg, self.rcfg = gcfg, mcfg, rcfg
         self.model_path = model_path
+        # reference ``--vis_cam_idx``: focus the overview on this camera's
+        # nominal pose instead of the auto zoom-out search (train.py:267)
+        self.vis_cam_idx = vis_cam_idx
         self.vis_dir = os.path.join(model_path, "vis")
         os.makedirs(self.vis_dir, exist_ok=True)
         # x^1.7-spaced shot schedule (reference ``:76-81``)
@@ -46,6 +50,13 @@ class Visualizer:
     # -- zoom-out camera search (reference ``_get_visualization_camera``)
     def _get_vis_camera(self):
         if self._vis_cam is not None:
+            return self._vis_cam
+        if self.vis_cam_idx is not None:
+            i = self.vis_cam_idx
+            self._vis_cam = make_camera_arrays(
+                c2w_to_view(jnp.asarray(self.scene.rotations[i], jnp.float32),
+                            jnp.asarray(self.scene.centers[i], jnp.float32)),
+                jnp.asarray(self.scene.proj))
             return self._vis_cam
         centers = np.asarray(self.scene.centers)
         mean_center = centers.mean(axis=0)

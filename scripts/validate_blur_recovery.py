@@ -106,6 +106,17 @@ def main():
     ap.add_argument("--true_scale", type=float, default=0.035,
                     help="true-scene Gaussian scale (world units; small = "
                          "high-frequency detail so blur is observable)")
+    ap.add_argument("--texture", type=str, default="random",
+                    choices=["random", "checker"],
+                    help="true-scene coloring. 'random' = per-splat noise "
+                         "(flat spectrum — maximally destroyed by blur and "
+                         "maximally hard to deconvolve; the r4 calibration "
+                         "showed oracle==floor on it). 'checker' = edge-rich "
+                         "3D checkerboard: large same-color regions with "
+                         "sharp boundaries, the structure deconvolution can "
+                         "actually recover (VERDICT r4 #2)")
+    ap.add_argument("--checker_cell", type=float, default=0.5,
+                    help="checker texture cell size (world units)")
     ap.add_argument("--save_state", type=str, default=None,
                     help="write the final TrainState checkpoint here")
     ap.add_argument("--pose_refine_iters", type=int, default=0,
@@ -168,8 +179,22 @@ def main():
     wall = jnp.stack([gx.ravel(), gy.ravel(),
                       jnp.full(side * side, 2.5)], axis=-1)
     pts = jnp.concatenate([fg, wall])
-    cols = jax.random.uniform(ks[1], (pts.shape[0], 3), minval=0.05,
-                              maxval=0.95)
+    if args.texture == "checker":
+        # 3-color 3D checkerboard: piecewise-constant color over
+        # `checker_cell`-sized cells — low-frequency structure with sharp
+        # (splat-limited) boundaries between cells. High-contrast palette so
+        # an edge blurred across the sweep carries a large, recoverable
+        # photometric error.
+        cell_idx = jnp.floor(pts / args.checker_cell).astype(jnp.int32)
+        parity = (cell_idx[:, 0] + 2 * cell_idx[:, 1]
+                  + 3 * cell_idx[:, 2]) % 3
+        palette = jnp.array([[0.92, 0.88, 0.15],
+                             [0.10, 0.12, 0.85],
+                             [0.88, 0.10, 0.12]])
+        cols = palette[parity]
+    else:
+        cols = jax.random.uniform(ks[1], (pts.shape[0], 3), minval=0.05,
+                                  maxval=0.95)
     gcfg = gm.GaussianConfig(sh_degree=2)
     true_params, true_aux = gm.create_from_pcd(pts, cols, gcfg, pts.shape[0])
     # the true scene must carry HIGH-FREQUENCY detail for blur to be

@@ -19,6 +19,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running integration test (full CLI journeys)")
+
 # The axon TPU plugin in this image overrides JAX_PLATFORMS from the
 # environment; the config knob wins, so set it explicitly too.
 jax.config.update("jax_platforms", "cpu")

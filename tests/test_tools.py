@@ -168,3 +168,74 @@ class TestReorderImagesTxt:
         lines = [l for l in open(os.path.join(sparse, "images.txt"))
                  .read().splitlines() if l.strip()]
         assert lines[0].endswith("b.png") and lines[0].split()[0] == "3"
+
+
+class TestTriangulateCLI:
+    """Standalone triangulation workspace builder (reference
+    ``scripts/triangulation.py:33-150``) with the colmap binary simulated:
+    asserts images are staged, extrinsics are written in DATABASE order in
+    the w2c COLMAP convention, and the result lands in ``sparse/0``."""
+
+    def test_builds_workspace(self, tmp_path, monkeypatch):
+        import shutil
+
+        from deblurgs_tpu.cli import triangulate as tri
+        from deblurgs_tpu.data.colmap import qvec2rotmat
+        from deblurgs_tpu.data.readers import CameraInfo
+        from deblurgs_tpu.tools import colmap_pipeline as cp
+
+        src = tmp_path / "src"
+        _write_images(str(src), ["c1.png", "c2.png"], w=16, h=12)
+        rng = np.random.default_rng(0)
+        infos = []
+        for i, name in enumerate(["c1.png", "c2.png"]):
+            # random valid c2w rotation via QR
+            q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+            q *= np.sign(np.linalg.det(q))
+            infos.append(CameraInfo(
+                uid=i, R=q, T=rng.normal(size=3), FovY=0.8, FovX=0.9,
+                image=None, image_path=str(src / name), image_name=name,
+                width=16, height=12))
+
+        calls = []
+
+        def fake_do_system(cmd):
+            calls.append(cmd)
+            ws = str(tmp_path / "out")
+            if "feature_extractor" in cmd:
+                conn = sqlite3.connect(os.path.join(ws, "database.db"))
+                conn.execute("CREATE TABLE images (image_id INT, name TEXT)")
+                # database order intentionally differs from input order
+                conn.executemany("INSERT INTO images VALUES (?, ?)",
+                                 [(1, "c2.png"), (2, "c1.png")])
+                conn.commit()
+                conn.close()
+            elif "point_triangulator" in cmd:
+                src_dir = cmd.split("--input_path ")[1].split()[0]
+                dst = cmd.split("--output_path ")[1].split()[0]
+                for f in os.listdir(src_dir):
+                    shutil.copy(os.path.join(src_dir, f), dst)
+
+        monkeypatch.setattr(cp, "colmap_available", lambda: True)
+        monkeypatch.setattr(cp, "do_system", fake_do_system)
+        monkeypatch.setattr(tri, "do_system", fake_do_system)
+
+        out = tri.triangulate(infos, str(tmp_path / "out"))
+
+        ws = tmp_path / "out"
+        assert sorted(os.listdir(ws / "images")) == ["c1.png", "c2.png"]
+        assert out == str(ws / "sparse" / "0")
+        lines = [l for l in (ws / "sparse" / "0" / "images.txt")
+                 .read_text().splitlines() if l.strip() and not
+                 l.startswith("#")]
+        # db order: c2 first; pose is w2c (R.T, T) of the matching info
+        assert lines[0].split()[-1] == "c2.png"
+        qvec = np.array([float(v) for v in lines[0].split()[1:5]])
+        np.testing.assert_allclose(qvec2rotmat(qvec), infos[1].R.T,
+                                   atol=1e-6)
+        tvec = np.array([float(v) for v in lines[0].split()[5:8]])
+        np.testing.assert_allclose(tvec, infos[1].T, atol=1e-6)
+        cam_line = [l for l in (ws / "sparse" / "0" / "cameras.txt")
+                    .read_text().splitlines() if not l.startswith("#")][0]
+        assert cam_line.split()[1] == "PINHOLE"
+        assert any("model_converter" in c for c in calls)
