@@ -309,17 +309,31 @@ def _mixed_core(cfg, data, carry_f, U, need_G=False, need_comp=True):
     U_eff = jnp.where(fs, U, 1.0)                          # [PX, CHUNK]
     P_prev = U_eff * jnp.exp(csum_ex)
     P_run = P_prev * mult
-    live = P_run >= _T_EPS
-    w = jnp.where(live, alpha_eff, 0.0) * P_prev
     out = dict(trow=trow, xl=xl, yl=yl, ca=ca, cb=cb, cc=cc, opac=opac,
-               mult=mult, P_prev=P_prev, P_run=P_run, w=w,
-               live=live, fs=fs, seg_end=seg_end, m2in=m2in, pf=pf)
-    if need_comp or need_G:
-        out["comp"] = live & elig
+               mult=mult, P_prev=P_prev, P_run=P_run,
+               fs=fs, seg_end=seg_end, m2in=m2in, pf=pf)
+    if cfg.fast:
+        # fast mode: the per-lane T<1e-4 freeze gates are dropped. Every
+        # gated quantity differs by ≤ _T_EPS-order terms (the same order as
+        # the CUDA early-exit's own truncation, forward.cu:339-341), which
+        # buys back the live/last-live [PX, CHUNK] pass volume per chunk.
+        out["live"] = None
+        out["w"] = alpha_eff * P_prev
+        if need_comp or need_G:
+            out["comp"] = elig
+    else:
+        live = P_run >= _T_EPS
+        out["live"] = live
+        out["w"] = jnp.where(live, alpha_eff, 0.0) * P_prev
+        if need_comp or need_G:
+            out["comp"] = live & elig
     if need_G:
-        # G = exp(power) reconstructed from raw alpha (only accurate where
-        # eligible — everywhere it feeds comp-masked gradients)
-        out["G"] = araw * (1.0 / jnp.maximum(opac, 1e-38))
+        # raw alpha = opac·G: the backward folds the per-pair opac scaling
+        # out of the [PX, CHUNK] volume — moments contracted against
+        # araw·dL_dalpha come out pre-scaled by opac, and only the opacity
+        # grad needs the (row-cheap) division back (see
+        # _backward_chunk_body)
+        out["araw"] = araw
     return out
 
 
@@ -420,13 +434,20 @@ def _forward_chunk_body(cfg, sm_ref, st_ref, f_ref, cd_e, t_e, nc_e,
     # u_pend and this flag untouched, so the flag always describes u_pend
     dead_s[0] = (jnp.max(pend) < _T_EPS).astype(jnp.int32)
 
-    # frozen-T candidates: running product at each pixel's last live
-    # lane of its segment (monotone products -> min across chunks)
-    livef = cr["live"].astype(jnp.float32)
-    live_next = _shift_left(livef)
-    lastlive = livef * jnp.maximum(
-        1.0 - live_next, cr["seg_end"].astype(jnp.float32))
-    PL = cr["P_run"] * lastlive                        # [PX, CHUNK]
+    if cfg.fast:
+        # fast mode: final-T candidate = the end-of-segment running product
+        # (no freeze). For unsaturated pixels this IS the frozen value; for
+        # saturated ones both lie below _T_EPS and the image differs by
+        # ≤ bg·_T_EPS (depth by ≤ z_far·_T_EPS).
+        PL = jnp.where(cr["seg_end"], cr["P_run"], 0.0)
+    else:
+        # frozen-T candidates: running product at each pixel's last live
+        # lane of its segment (monotone products -> min across chunks)
+        livef = cr["live"].astype(jnp.float32)
+        live_next = _shift_left(livef)
+        lastlive = livef * jnp.maximum(
+            1.0 - live_next, cr["seg_end"].astype(jnp.float32))
+        PL = cr["P_run"] * lastlive                    # [PX, CHUNK]
 
     b_start = sm_ref[_BSTART_R, c]
     oh_lo, oh_hi = _onehot(cr["trow"], b_start, W)
@@ -637,18 +658,22 @@ def _backward_chunk_body(cfg, sm_ref, st_ref, f_ref, dl_e, dl_o, bgd_e,
     dL_dalpha = jnp.where(
         cr["comp"], dl_dot_c * cr["P_prev"] - S / cr["mult"], 0.0)
 
-    N = cr["G"] * dL_dalpha
+    # moments against araw·dL_dalpha = opac·G·dL_dalpha: opac is constant
+    # per column, so the PX-contraction commutes with the scaling — the
+    # moment rows come out pre-multiplied by opac (saving the G = araw/opac
+    # [PX, CHUNK] pass) and only dop divides it back, on a [1, CHUNK] row
+    N = cr["araw"] * dL_dalpha
     mom = jax.lax.dot_general(
         cr["pf"], N, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [8, CHUNK]
+        preferred_element_type=jnp.float32)            # [8, CHUNK] (·opac)
     xl, yl = cr["xl"], cr["yl"]
     ca, cb, ccc, opac = cr["ca"], cr["cb"], cr["cc"], cr["opac"]
-    M0 = opac * mom[0:1, :]
-    M1 = opac * mom[1:2, :]
-    M2_ = opac * mom[2:3, :]
-    M3 = opac * mom[3:4, :]
-    M4 = opac * mom[4:5, :]
-    M5 = opac * mom[5:6, :]
+    M0 = mom[0:1, :]
+    M1 = mom[1:2, :]
+    M2_ = mom[2:3, :]
+    M3 = mom[3:4, :]
+    M4 = mom[4:5, :]
+    M5 = mom[5:6, :]
     Sx = xl * M0 - M1
     Sy = yl * M0 - M2_
     dmx = -ca * Sx - cb * Sy
@@ -656,7 +681,7 @@ def _backward_chunk_body(cfg, sm_ref, st_ref, f_ref, dl_e, dl_o, bgd_e,
     dca = -0.5 * (xl * xl * M0 - 2.0 * xl * M1 + M3)
     dcb = -(xl * yl * M0 - xl * M2_ - yl * M1 + M5)
     dcc = -0.5 * (yl * yl * M0 - 2.0 * yl * M2_ + M4)
-    dop = mom[0:1, :]
+    dop = M0 / jnp.maximum(opac, 1e-38)
 
     # per-pair color/depth grads: route dl to columns per channel
     dot_pw = functools.partial(

@@ -73,6 +73,11 @@ class RasterizeConfig:
                                 # (clamped to the reference 3σ square; image
                                 # and gradient exact — shrinks the sort).
                                 # radii/visible keep reference semantics.
+    fast: bool = False          # pallas mixed only: drop the per-lane
+                                # T<1e-4 freeze gates. Bounded error vs
+                                # exact (~_T_EPS/(1-alpha)-order, see
+                                # tile_blend.BlendConfig.fast); needs
+                                # need_n_contrib=False
 
     def __post_init__(self):
         if self.backend not in ("xla", "pallas", "oracle"):
@@ -91,7 +96,7 @@ class RasterizeConfig:
             k_max=self.k_max, max_pairs=self.max_pairs, z_far=self.z_far,
             backend=self.backend, interpret=self.interpret,
             need_n_contrib=self.need_n_contrib, window=self.window,
-            layout=self.layout, tile_cull=self.tile_cull,
+            layout=self.layout, tile_cull=self.tile_cull, fast=self.fast,
         )
 
 

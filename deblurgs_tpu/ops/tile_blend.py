@@ -67,11 +67,32 @@ class BlendConfig:
                                # their tile (exact; disabled automatically
                                # when need_n_contrib — the cull shifts the
                                # reference's within-rect-list diagnostic)
+    fast: bool = False         # mixed layout only: drop the per-lane
+                               # T<1e-4 freeze gates (live/last-live pass
+                               # volume). Bounded error vs the exact path:
+                               # the frozen T sits up to _T_EPS/(1-alpha)
+                               # above the continued product (the CUDA
+                               # freeze REJECTS the crossing update,
+                               # forward.cu:339-341) — ~1e-3-order image/
+                               # final_T worst case at alpha≈0.9, exact on
+                               # unsaturated pixels up to sub-_T_EPS
+                               # contributions. Incompatible with
+                               # need_n_contrib (its freeze-gated count is
+                               # the diagnostic fast mode drops).
     n_images: int = 1          # batched multi-view rendering (mixed layout
                                # only): image s occupies tiles
                                # [s·num_tiles, (s+1)·num_tiles) of one
                                # stacked tile axis — one sort + one kernel
                                # launch for all sub-frames
+
+    def __post_init__(self):
+        if self.fast and (self.layout != "mixed"
+                          or self.backend != "pallas"
+                          or self.need_n_contrib):
+            raise ValueError(
+                "fast blend requires backend='pallas', layout='mixed' and "
+                "need_n_contrib=False (its T-freeze diagnostic is the one "
+                "thing fast mode drops)")
 
     @property
     def total_tiles(self) -> int:

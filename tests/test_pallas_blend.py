@@ -523,3 +523,96 @@ class TestMixedLayoutRectTilesTall(TestPallasParity):
                              tile_w=8, tile_h=16)
     XLA_CFG = RasterizeConfig(backend="xla", max_pairs=1 << 14, k_max=512,
                               tile_w=8, tile_h=16)
+
+
+class TestFastBlend:
+    """``fast=True`` (mixed layout): drops the per-lane T<1e-4 freeze gates.
+    Bounded-error contract: outputs within _T_EPS/(1-alpha)-order of the
+    exact path (the frozen T sits up to that much above the continued
+    product, since the CUDA freeze rejects the crossing update) — image
+    ~1e-3-order worst case, grads ~1e-3 normalized."""
+
+    FAST_CFG = RasterizeConfig(backend="pallas", max_pairs=1 << 14,
+                               interpret=True, layout="mixed", window=2,
+                               need_n_contrib=False, fast=True)
+    EXACT_CFG = RasterizeConfig(backend="pallas", max_pairs=1 << 14,
+                                interpret=True, layout="mixed", window=2,
+                                need_n_contrib=False)
+
+    def setup_method(self, method):
+        self.cam, self.cs, _ = make_camera(width=48, height=32)
+        (self.means, self.scales, self.rots,
+         self.opac, self.shs) = make_gaussians(jax.random.PRNGKey(21), n=150,
+                                               sh_deg=1, opacity_max=0.95)
+        self.bg = jnp.array([0.2, 0.4, 0.6])
+
+    def _render(self, cfg, means=None, opac=None):
+        return render(means if means is not None else self.means,
+                      self.scales, self.rots,
+                      opac if opac is not None else self.opac, self.shs,
+                      self.cam, self.cs, self.bg, cfg=cfg, sh_degree=1)
+
+    def test_config_validation(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="fast"):
+            self._render(RasterizeConfig(backend="pallas", interpret=True,
+                                         layout="mixed", fast=True))
+        with pytest.raises(ValueError, match="fast"):
+            self._render(RasterizeConfig(backend="xla", fast=True,
+                                         need_n_contrib=False))
+
+    def test_forward_within_eps_bound(self):
+        a = self._render(self.FAST_CFG)
+        b = self._render(self.EXACT_CFG)
+        np.testing.assert_allclose(np.asarray(a.image), np.asarray(b.image),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth),
+                                   atol=2e-2)
+        np.testing.assert_allclose(np.asarray(a.final_T),
+                                   np.asarray(b.final_T), atol=2e-4)
+
+    def test_saturating_scene_within_eps_bound(self):
+        """The hard case: T actually crosses 1e-4, so the freeze gates the
+        fast path drops are live in the exact path."""
+        n = self.means.shape[0]
+        means = jnp.stack(
+            [0.2 * jax.random.normal(jax.random.PRNGKey(31), (n,)),
+             0.2 * jax.random.normal(jax.random.PRNGKey(32), (n,)),
+             jnp.linspace(-0.5, 0.5, n)], axis=-1)
+        opac = jnp.full_like(self.opac, 0.98)
+        a = self._render(self.FAST_CFG, means=means, opac=opac)
+        b = self._render(self.EXACT_CFG, means=means, opac=opac)
+        assert float(jnp.min(b.final_T)) < 1e-3
+        # the frozen T can sit up to _T_EPS/(1-alpha) above the continued
+        # product (the CUDA freeze REJECTS the crossing update,
+        # forward.cu:339-341), so the bound is 1e-3-order here
+        np.testing.assert_allclose(np.asarray(a.image), np.asarray(b.image),
+                                   atol=1e-3)
+        # alpha reaches 0.98 in this scene -> bound _T_EPS/(1-0.98) = 5e-3
+        np.testing.assert_allclose(np.asarray(a.final_T),
+                                   np.asarray(b.final_T), atol=5e-3)
+
+    def test_gradient_parity(self):
+        w_img = jax.random.normal(jax.random.PRNGKey(3), (32, 48, 3))
+        w_depth = jax.random.normal(jax.random.PRNGKey(4), (32, 48)) * 0.01
+
+        def loss(cfg, means, scales, rots, opac, shs, cam):
+            out = render(means, scales, rots, opac, shs, cam, self.cs,
+                         self.bg, cfg=cfg, sh_degree=1)
+            return jnp.sum(out.image * w_img) + jnp.sum(out.depth * w_depth)
+
+        args = (self.means, self.scales, self.rots, self.opac, self.shs,
+                self.cam)
+        g_f = jax.grad(functools.partial(loss, self.FAST_CFG),
+                       argnums=(0, 1, 2, 3, 4, 5))(*args)
+        g_e = jax.grad(functools.partial(loss, self.EXACT_CFG),
+                       argnums=(0, 1, 2, 3, 4, 5))(*args)
+        for name, a, b in zip(
+            ["means", "scales", "rots", "opac", "shs", "cam"], g_f, g_e
+        ):
+            for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+                la, lb = np.asarray(la), np.asarray(lb)
+                scale = np.abs(lb).max() + 1e-8
+                np.testing.assert_allclose(la / scale, lb / scale, atol=1e-3,
+                                           err_msg=f"grad mismatch: {name}")
