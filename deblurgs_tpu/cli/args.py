@@ -90,6 +90,10 @@ class ModelParams(ParamGroup):
         self.window = 2               # pallas mixed: tiles per output block
         self.kernel_layout = "mixed"  # pallas grid: "mixed" | "lockstep"
         self.tile_cull = True         # exact per-pair tile cull (pallas)
+        self.fast = False             # fast blend (pallas mixed): drop the
+                                      # per-lane T-freeze gates; bounded
+                                      # ~1e-3-order error (see
+                                      # BlendConfig.fast)
         self.tight_rect = True        # 1/255-ellipse AABB emission rects
         self.batched_render = True    # all sub-frames in ONE rasterizer
                                       # launch (kernel_layout=mixed). The

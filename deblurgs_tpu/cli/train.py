@@ -42,6 +42,9 @@ def build_configs(lp, op):
         need_n_contrib=False,  # diagnostic-only output; skip in training
         window=lp.window, layout=lp.kernel_layout,
         tile_cull=lp.tile_cull, tight_rect=lp.tight_rect,
+        fast=(lp.fast and lp.backend == "pallas"
+              and lp.kernel_layout == "mixed"
+              and not getattr(lp, "need_n_contrib", False)),
         interpret=rasterize_mod.default_interpret(),
     )
     return gcfg, mcfg, ocfg, rcfg

@@ -235,7 +235,7 @@ class Trainer:
 
         probe_cfg = dataclasses.replace(
             self.rcfg, backend="xla", max_pairs=1 << 22, k_max=8,
-            need_n_contrib=False, interpret=False)
+            need_n_contrib=False, interpret=False, fast=False)
 
         @jax.jit
         def probe(params, active, rot, center):

@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--no_cull", action="store_true")
     ap.add_argument("--fat_rect", action="store_true",
                     help="disable tight emission rects")
+    ap.add_argument("--fast", action="store_true",
+                    help="fast blend mode (mixed layout only: no per-lane "
+                         "T-freeze gates, bounded ~1e-3-order error)")
     args = ap.parse_args()
 
     gauss, cam, cs = build_scene(n=args.n, width=args.width,
@@ -75,7 +78,8 @@ def main():
                               k_max=2048, tile_w=tw, tile_h=th,
                               need_n_contrib=False, window=window,
                               layout=layout, tile_cull=not args.no_cull,
-                              tight_rect=tight)
+                              tight_rect=tight,
+                              fast=args.fast and layout == "mixed")
 
         fwd = jax.jit(lambda *a: render(*a, cam, cs, bg, cfg=cfg,
                                         sh_degree=2).image)

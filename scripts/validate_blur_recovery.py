@@ -92,6 +92,10 @@ def main():
                          "camera's curve gets a fresh Adam update each "
                          "step; B*n_sub views render per step)")
     ap.add_argument("--window", type=int, default=1)
+    ap.add_argument("--fast", action="store_true",
+                    help="fast blend mode on the training config (mixed "
+                         "layout only; bounded ~1e-3-order error — the "
+                         "eval/synth renders stay exact)")
     ap.add_argument("--pos_lr", type=float, default=0.00016,
                     help="xyz LR init (reference default)")
     ap.add_argument("--curve_lr_mult", type=float, default=1.0)
@@ -237,12 +241,15 @@ def main():
     # a launch. The mixed kernel's scalar-prefetched step maps live in SMEM
     # (1 MB), which caps max_pairs around ~2M — keep the big budget off the
     # single-view eval/synth renders, which get their own small config.
+    train_layout = "mixed" if args.batched else args.layout
+    train_ncon = not (args.batched or args.layout == "mixed")
     rcfg = RasterizeConfig(backend=args.backend, max_pairs=args.max_pairs,
                            k_max=1024, tile_w=args.tile, tile_h=args.tile,
-                           layout="mixed" if args.batched else args.layout,
-                           window=args.window,
-                           need_n_contrib=not (args.batched
-                                               or args.layout == "mixed"))
+                           layout=train_layout, window=args.window,
+                           need_n_contrib=train_ncon,
+                           fast=(args.fast and args.backend == "pallas"
+                                 and train_layout == "mixed"
+                                 and not train_ncon))
     rcfg_eval = RasterizeConfig(backend=args.backend,
                                 max_pairs=min(args.max_pairs, 1 << 17),
                                 k_max=1024, tile_w=args.tile,
