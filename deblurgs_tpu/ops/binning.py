@@ -117,7 +117,11 @@ def expand_slots(area: jax.Array, max_pairs: int):
     slots = jnp.arange(max_pairs, dtype=jnp.int32)
     valid = slots < jnp.minimum(total, max_pairs)
     gauss = jnp.clip(gauss, 0, P - 1).astype(jnp.int32)
-    local = slots - starts[gauss]
+    # run start per slot via scatter + cummax instead of ``starts[gauss]``
+    # (a [max_pairs] element gather — see expand_compact)
+    smarks = jnp.full(max_pairs, -1, jnp.int32).at[scatter_idx].set(
+        jnp.where(area > 0, starts, 0), mode="drop", unique_indices=True)
+    local = slots - jnp.clip(_cummax_1d(smarks), 0, None)
     return gauss, valid, local, total
 
 
@@ -155,8 +159,15 @@ def expand_compact(area: jax.Array, max_pairs: int):
     gauss_c = jnp.clip(_cummax_1d(marks), 0, P - 1)
     slots = jnp.arange(max_pairs, dtype=jnp.int32)
     valid = slots < jnp.minimum(total, max_pairs)
-    starts_c = starts[ids]                                  # [P] compact
-    local = slots - starts_c[gauss_c]
+    # per-slot run start via a second unique scatter + cummax (start values
+    # are non-decreasing across runs, so cummax recovers them exactly).
+    # The former ``starts[ids][gauss_c]`` formulation was a [max_pairs]
+    # element gather — ~15 ns/row on TPU ≈ 3.8 ms at bench scale, measured
+    # as the whole pipeline's second-largest stage (r5 profile).
+    smarks = jnp.full(max_pairs, -1, jnp.int32).at[scatter_idx].set(
+        jnp.where(emit, starts, 0), mode="drop", unique_indices=True)
+    run_start = jnp.clip(_cummax_1d(smarks), 0, None)
+    local = slots - run_start
     return gauss_c, ids, valid, local, total
 
 

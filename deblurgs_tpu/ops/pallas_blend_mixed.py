@@ -202,23 +202,34 @@ def _eye(n, dtype=jnp.float32):
     return (ri == ci).astype(dtype)
 
 
+def _row_prefix_incl(x):
+    """Inclusive lane-prefix sum of a [1, CHUNK] row via log2(CHUNK)
+    shift-adds. Tiny VPU ops replacing a [1, CHUNK]@[CHUNK, CHUNK] MXU
+    contraction — at one call per grid step the matmul's fill latency was
+    pure per-step overhead (the kernel is step-overhead bound, r5 A/B).
+    Exact for small-int-valued f32 rows."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    s = 1
+    while s < x.shape[1]:
+        x = x + jnp.where(lane >= s, pltpu.roll(x, s, 1),
+                          jnp.zeros((), x.dtype))
+        s *= 2
+    return x
+
+
 def _seg_structure(trow):
     """Per-chunk segment structure from the sorted tile-id row [1, CHUNK].
 
     Returns (segrow [1, CHUNK] small-int f32 segment ids, seg_end [1, CHUNK]
     bool, M2ex / M2in [CHUNK, CHUNK] f32 segmented strict/inclusive
     lower-prefix masks). Segment ids are ≤ CHUNK, exactly representable in
-    f32; the two structure matmuls here run with f32 operands because
-    Mosaic rejects their bf16-in/f32-out lowerings (single-row lhs /
-    vector.broadcast), and both are tiny next to the [PX, CHUNK] passes.
-    The data-path prefix products in :func:`_prefix_masked` keep the
-    double-bfloat16 MXU split."""
+    f32; the transpose matmul runs with f32 operands because Mosaic rejects
+    its bf16-in/f32-out lowering (vector.broadcast), and it is tiny next to
+    the [PX, CHUNK] passes. The data-path prefix products in
+    :func:`_prefix_masked` keep the double-bfloat16 MXU split."""
     boundary = (trow != _shift_right(trow, -1.0)).astype(jnp.float32)
     # inclusive row prefix of boundary -> segment index (1..CHUNK)
-    segrow = jax.lax.dot_general(
-        boundary, base._utri(False),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)               # [1, CHUNK]
+    segrow = _row_prefix_incl(boundary)                   # [1, CHUNK]
     seg_end = segrow != _shift_left(segrow)
     # segment ids as a column. f32 operands: Mosaic's verifier rejects the
     # bf16-in/f32-out lowering of this [CHUNK,CHUNK]@[1,CHUNK] contraction
@@ -235,15 +246,29 @@ def _seg_structure(trow):
     return segrow, seg_end, m2ex, m2in
 
 
-def _prefix_masked(x, m2):
-    """Segmented lane-prefix sum: x @ m2 with f32 operands.
+import os
 
-    Unlike the lockstep path's double-bfloat16 split (constant utri mask),
-    the real Mosaic compiler rejects the bf16-in/f32-out lowering of this
-    contraction against the *computed* segment mask ("Bad lhs type", any
-    PX — runs/r3_m32_bf16.log / runs/r3_meso_nocurve.log). The f32 matmul
-    costs ~0.6 ms at 1080p/100k (60 GFLOP stage at the MXU's 1/4 f32
-    rate) and is exact."""
+_MASKED_PREFIX_IMPL = os.environ.get("DEBLURGS_MASKED_PREFIX", "f32")
+
+
+def _prefix_masked(x, m2):
+    """Segmented lane-prefix sum: x @ m2.
+
+    Default f32 operands: round 3's Mosaic rejected the bf16-in/f32-out
+    lowering of this contraction against the *computed* segment mask
+    ("Bad lhs type", any PX — runs/r3_m32_bf16.log). The
+    ``DEBLURGS_MASKED_PREFIX=dbf16`` switch retries the double-bfloat16
+    hi/lo split (two full-rate bf16 matmuls ≈ half the 1/4-rate f32 one,
+    input rounding ≤ |x|·2^-17) for A/B on newer compilers."""
+    if _MASKED_PREFIX_IMPL == "dbf16":
+        hi = x.astype(jnp.bfloat16)
+        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        m = m2.astype(jnp.bfloat16)
+        dot = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dot(hi, m) + dot(lo, m)
     return jnp.dot(x, m2, preferred_element_type=jnp.float32)
 
 
@@ -337,35 +362,24 @@ def _mixed_core(cfg, data, carry_f, U, need_G=False, need_comp=True):
     return out
 
 
-def _route_cd(data, oh, wgt, W):
-    """Per-tile weighted color/depth sums: [4W, PX] via one one-hot MXU
-    contraction (rows are (tile-offset, channel)-major)."""
-    c_exp = jnp.concatenate(
-        [oh[w:w + 1, :] * data[6 + ch:7 + ch, :]
-         for w in range(W) for ch in range(4)], axis=0)    # [4W, CHUNK]
-    return jax.lax.dot_general(
-        c_exp, wgt, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                # [4W, PX]
+def _c_exp(data, oh2, nblk):
+    """One-hot-masked per-channel rows for the routing contraction:
+    [4·nblk, CHUNK], rows (block, channel)-major."""
+    return jnp.concatenate(
+        [oh2[b:b + 1, :] * data[6 + ch:7 + ch, :]
+         for b in range(nblk) for ch in range(4)], axis=0)
 
 
-def _emit(cfg, cd_b, t_b, nc_b, oh, blk, data, cr, PL, st_ref, pos1,
-          compf):
-    """Accumulate one W-block's outputs from this chunk. ``blk`` is the
-    bound W-block index (traced scalar)."""
+def _nc_cand(cfg, nc_b, oh, blk, pos1, compf, st_ref):
+    """n_contrib candidates for one W-block (diagnostic path only)."""
     W = cfg.window
-    cd_b[0] += _route_cd(data, oh, cr["w"], W)
-    tc = jax.lax.dot_general(
-        PL, oh, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                # [PX, W]
-    t_b[0] = jnp.minimum(t_b[0], jnp.where(tc > 0.0, tc, 2.0))
-    if nc_b is not None:
-        cand = []
-        for w in range(W):
-            idx1 = pos1 - jnp.float32(st_ref[blk * W + w])
-            m = compf * oh[w:w + 1, :]
-            cand.append(jnp.max(jnp.where(m > 0, idx1, 0.0), axis=1,
-                                keepdims=True))            # [PX, 1]
-        nc_b[0] = jnp.maximum(nc_b[0], jnp.concatenate(cand, axis=1))
+    cand = []
+    for w in range(W):
+        idx1 = pos1 - jnp.float32(st_ref[blk * W + w])
+        m = compf * oh[w:w + 1, :]
+        cand.append(jnp.max(jnp.where(m > 0, idx1, 0.0), axis=1,
+                            keepdims=True))                # [PX, 1]
+    nc_b[0] = jnp.maximum(nc_b[0], jnp.concatenate(cand, axis=1))
 
 
 def _forward_kernel(cfg, sm_ref, st_ref, f_ref, *refs):
@@ -452,27 +466,37 @@ def _forward_chunk_body(cfg, sm_ref, st_ref, f_ref, cd_e, t_e, nc_e,
     b_start = sm_ref[_BSTART_R, c]
     oh_lo, oh_hi = _onehot(cr["trow"], b_start, W)
     even_lower = (b_start % 2) == 0
-    pos1 = compf = None
+    # route both bound blocks in ONE contraction each: the one-hot masks
+    # reorder to (even-buffer, odd-buffer) so the big operands need no
+    # select and the outputs write unconditionally — at ~2 chunks/step the
+    # kernel is per-step-overhead bound (r5 A/B: dropping 5 of ~20 VPU
+    # passes moved it ~1%), so halving the small-matmul count per step is
+    # the lever, not shrinking pass volume
+    oh_ev = jnp.where(even_lower, oh_lo, oh_hi)            # [W, CHUNK]
+    oh_od = jnp.where(even_lower, oh_hi, oh_lo)
+    oh2 = jnp.concatenate([oh_ev, oh_od], axis=0)          # [2W, CHUNK]
+    cd2 = jax.lax.dot_general(
+        _c_exp(data, oh2, 2 * W), cr["w"],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [8W, PX]
+    cd_e[0] += cd2[:4 * W]
+    cd_o[0] += cd2[4 * W:]
+    tc2 = jax.lax.dot_general(
+        PL, oh2, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [PX, 2W]
+    t_e[0] = jnp.minimum(t_e[0], jnp.where(tc2[:, :W] > 0.0,
+                                           tc2[:, :W], 2.0))
+    t_o[0] = jnp.minimum(t_o[0], jnp.where(tc2[:, W:] > 0.0,
+                                           tc2[:, W:], 2.0))
     if cfg.need_n_contrib:
         pos1 = (jnp.float32(sm_ref[_CHUNK_R, c] * CHUNK) + 1.0
                 + jax.lax.broadcasted_iota(
                     jnp.int32, (1, CHUNK), 1).astype(jnp.float32))
         compf = cr["comp"].astype(jnp.float32)
-
-    # the even buffer holds the LOWER block iff b_start is even
-    @pl.when(even_lower)
-    def _():
-        _emit(cfg, cd_e, t_e, nc_e, oh_lo, b_start, data, cr, PL,
-              st_ref, pos1, compf)
-        _emit(cfg, cd_o, t_o, nc_o, oh_hi, b_start + 1, data, cr, PL,
-              st_ref, pos1, compf)
-
-    @pl.when(jnp.logical_not(even_lower))
-    def _():
-        _emit(cfg, cd_o, t_o, nc_o, oh_lo, b_start, data, cr, PL,
-              st_ref, pos1, compf)
-        _emit(cfg, cd_e, t_e, nc_e, oh_hi, b_start + 1, data, cr, PL,
-              st_ref, pos1, compf)
+        b_even = jnp.where(even_lower, b_start, b_start + 1)
+        b_odd = jnp.where(even_lower, b_start + 1, b_start)
+        _nc_cand(cfg, nc_e, oh_ev, b_even, pos1, compf, st_ref)
+        _nc_cand(cfg, nc_o, oh_od, b_odd, pos1, compf, st_ref)
 
 
 def forward_mixed(cfg, prep: PreparedMixed):
@@ -622,32 +646,23 @@ def _backward_chunk_body(cfg, sm_ref, st_ref, f_ref, dl_e, dl_o, bgd_e,
     b_start = sm_ref[_BSTART_R, c]
     oh_lo, oh_hi = _onehot(cr["trow"], b_start, W)
     even_lower = (b_start % 2) == 0
-    # the even buffer holds the lower block iff b_start is even; build
-    # both (lower, upper) routed quantities from the matching buffers
-    dl_eb = dl_e[0]                                    # [4W, PX]
-    dl_ob = dl_o[0]
-    bgd_eb = bgd_e[0]                                  # [PX, W]
-    bgd_ob = bgd_o[0]
-    sel = even_lower
-    dl_lo = jnp.where(sel, dl_eb, dl_ob)
-    dl_hi = jnp.where(sel, dl_ob, dl_eb)
-    bgd_lo = jnp.where(sel, bgd_eb, bgd_ob)
-    bgd_hi = jnp.where(sel, bgd_ob, bgd_eb)
+    # reorder the one-hot masks to (even-buffer, odd-buffer) so the big
+    # buffer operands concatenate without selects and each routed quantity
+    # is ONE contraction (the kernel is per-step-overhead bound — see the
+    # forward body)
+    oh_ev = jnp.where(even_lower, oh_lo, oh_hi)            # [W, CHUNK]
+    oh_od = jnp.where(even_lower, oh_hi, oh_lo)
+    oh2 = jnp.concatenate([oh_ev, oh_od], axis=0)          # [2W, CHUNK]
+    dl2 = jnp.concatenate([dl_e[0], dl_o[0]], axis=0)      # [8W, PX]
+    bgd2 = jnp.concatenate([bgd_e[0], bgd_o[0]], axis=1)   # [PX, 2W]
 
-    def cexp(oh):
-        return jnp.concatenate(
-            [oh[w:w + 1, :] * data[6 + ch:7 + ch, :]
-             for w in range(W) for ch in range(4)], axis=0)
-
-    ce_lo, ce_hi = cexp(oh_lo), cexp(oh_hi)
-    dot_pc = functools.partial(
-        jax.lax.dot_general, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dl_dot_c = dot_pc(dl_lo, ce_lo) + dot_pc(dl_hi, ce_hi)  # [PX, CHUNK]
-    dot_bg = functools.partial(
-        jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    bg_cols = dot_bg(bgd_lo, oh_lo) + dot_bg(bgd_hi, oh_hi)
+    ce2 = _c_exp(data, oh2, 2 * W)                         # [8W, CHUNK]
+    dl_dot_c = jax.lax.dot_general(
+        dl2, ce2, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [PX, CHUNK]
+    bg_cols = jax.lax.dot_general(
+        bgd2, oh2, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [PX, CHUNK]
 
     wgt = cr["w"]
     wc = wgt * dl_dot_c
@@ -683,16 +698,14 @@ def _backward_chunk_body(cfg, sm_ref, st_ref, f_ref, dl_e, dl_o, bgd_e,
     dcc = -0.5 * (yl * yl * M0 - 2.0 * yl * M2_ + M4)
     dop = M0 / jnp.maximum(opac, 1e-38)
 
-    # per-pair color/depth grads: route dl to columns per channel
-    dot_pw = functools.partial(
-        jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    mm_lo = dot_pw(dl_lo, wgt)                         # [4W, CHUNK]
-    mm_hi = dot_pw(dl_hi, wgt)
+    # per-pair color/depth grads: route dl to columns per channel (one
+    # contraction for both bound blocks; rows pair with oh2 blocks)
+    mm2 = jax.lax.dot_general(
+        dl2, wgt, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [8W, CHUNK]
     dcold = jnp.zeros((4, CHUNK), jnp.float32)
-    for w in range(W):
-        dcold = dcold + oh_lo[w:w + 1, :] * mm_lo[4 * w:4 * w + 4, :]
-        dcold = dcold + oh_hi[w:w + 1, :] * mm_hi[4 * w:4 * w + 4, :]
+    for b in range(2 * W):
+        dcold = dcold + oh2[b:b + 1, :] * mm2[4 * b:4 * b + 4, :]
 
     gout = jnp.concatenate(
         [dmx, dmy, dca, dcb, dcc, dop, dcold,
