@@ -96,12 +96,17 @@ def _nbuf(cfg) -> int:
     return nblk // 2 + 1
 
 
+def _ck(cfg) -> int:
+    """Effective pairs-per-step for the mixed grid (cfg.chunk override)."""
+    return getattr(cfg, "chunk", 0) or CHUNK
+
+
 def _ns_static(cfg, max_pairs: int) -> int:
     """Step bound: one visit per chunk + window advances. Each extra visit
     moves the covered-block pointer by 2 and block pointers only move
     forward, so extra visits ≤ nblk/2 overall."""
     nblk = -(-cfg.total_tiles // cfg.window)
-    return max_pairs // CHUNK + nblk // 2 + 2
+    return max_pairs // _ck(cfg) + nblk // 2 + 2
 
 
 def prepare_mixed(cfg, fields, s_tile, s_gc, ids, n_emit,
@@ -109,16 +114,17 @@ def prepare_mixed(cfg, fields, s_tile, s_gc, ids, n_emit,
     """Step maps for the mixed-chunk grid from the sorted tile ids."""
     W = cfg.window
     nt = cfg.total_tiles
-    nc = max_pairs // CHUNK
+    CK = _ck(cfg)
+    nc = max_pairs // CK
     nbuf = _nbuf(cfg)
     ns = _ns_static(cfg, max_pairs)
 
-    slots = jnp.arange(nc, dtype=jnp.int32) * CHUNK
+    slots = jnp.arange(nc, dtype=jnp.int32) * CK
     # a chunk earns visits only if it holds any real-tile pair (tile-culled
     # pairs sort to the sentinel tail alongside capacity padding)
     has = (slots < total) & (s_tile[slots] < nt)
     t_lo = jnp.minimum(s_tile[slots], nt - 1)
-    last = jnp.clip(slots + CHUNK - 1, 0, jnp.maximum(total - 1, 0))
+    last = jnp.clip(slots + CK - 1, 0, jnp.maximum(total - 1, 0))
     t_hi = jnp.minimum(s_tile[last], nt - 1)
     b_lo = t_lo // W
     b_hi = jnp.maximum(t_hi // W, b_lo)
@@ -157,7 +163,7 @@ def prepare_mixed(cfg, fields, s_tile, s_gc, ids, n_emit,
     # boundary has sentinel tail lanes and fails the last-lane test, which
     # is the conservative/correct outcome). SS chunks span one tile, so
     # they always get exactly one visit (b_lo == b_hi).
-    last_raw = jnp.minimum(slots + CHUNK - 1, max_pairs - 1)
+    last_raw = jnp.minimum(slots + CK - 1, max_pairs - 1)
     ss = (has & (s_tile[slots] == ct)
           & (s_tile[last_raw] == ct)).astype(jnp.int32)
     sss = ss[step_chunk]
@@ -227,20 +233,21 @@ def _seg_structure(trow):
     its bf16-in/f32-out lowering (vector.broadcast), and it is tiny next to
     the [PX, CHUNK] passes. The data-path prefix products in
     :func:`_prefix_masked` keep the double-bfloat16 MXU split."""
+    ck = trow.shape[1]
     boundary = (trow != _shift_right(trow, -1.0)).astype(jnp.float32)
-    # inclusive row prefix of boundary -> segment index (1..CHUNK)
-    segrow = _row_prefix_incl(boundary)                   # [1, CHUNK]
+    # inclusive row prefix of boundary -> segment index (1..ck)
+    segrow = _row_prefix_incl(boundary)                   # [1, ck]
     seg_end = segrow != _shift_left(segrow)
     # segment ids as a column. f32 operands: Mosaic's verifier rejects the
-    # bf16-in/f32-out lowering of this [CHUNK,CHUNK]@[1,CHUNK] contraction
+    # bf16-in/f32-out lowering of this [ck,ck]@[1,ck] contraction
     # (vector.broadcast bf16->f32), and the matmul is tiny anyway.
     segcol = jax.lax.dot_general(
-        _eye(CHUNK, jnp.float32), segrow,
+        _eye(ck, jnp.float32), segrow,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)               # [CHUNK, 1]
-    same = segcol == segrow                               # [CHUNK, CHUNK]
-    ri = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+        preferred_element_type=jnp.float32)               # [ck, 1]
+    same = segcol == segrow                               # [ck, ck]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (ck, ck), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (ck, ck), 1)
     m2ex = (same & (ri < ci)).astype(jnp.float32)
     m2in = (same & (ri <= ci)).astype(jnp.float32)
     return segrow, seg_end, m2ex, m2in
@@ -277,9 +284,9 @@ def _onehot(trow, b_start, W):
 
     Returns (oh_lo, oh_hi) each [W, CHUNK]: oh_lo[w, j] = 1 iff column j's
     tile is b_start*W + w; oh_hi covers the following block."""
-    rel = trow - jnp.float32(b_start * W)                  # [1, CHUNK]
+    rel = trow - jnp.float32(b_start * W)                  # [1, ck]
     ri = jax.lax.broadcasted_iota(
-        jnp.int32, (W, CHUNK), 0).astype(jnp.float32)
+        jnp.int32, (W, trow.shape[1]), 0).astype(jnp.float32)
     oh_lo = (rel == ri).astype(jnp.float32)
     oh_hi = (rel == ri + W).astype(jnp.float32)
     return oh_lo, oh_hi
@@ -438,11 +445,12 @@ def _forward_kernel(cfg, sm_ref, st_ref, f_ref, *refs):
 def _forward_chunk_body(cfg, sm_ref, st_ref, f_ref, cd_e, t_e, nc_e,
                         cd_o, t_o, nc_o, u_ent, u_pend, dead_s, c):
     W = cfg.window
+    CK = _ck(cfg)
     data = f_ref[...]
     carry_f = jnp.float32(sm_ref[_CT_R, c])
     cr = _mixed_core(cfg, data, carry_f, u_ent[...],
                      need_comp=cfg.need_n_contrib)
-    pend = cr["P_run"][:, CHUNK - 1:]
+    pend = cr["P_run"][:, CK - 1:]
     u_pend[...] = pend
     # deadness of the pending carry: a skipped successor chunk leaves both
     # u_pend and this flag untouched, so the flag always describes u_pend
@@ -489,9 +497,9 @@ def _forward_chunk_body(cfg, sm_ref, st_ref, f_ref, cd_e, t_e, nc_e,
     t_o[0] = jnp.minimum(t_o[0], jnp.where(tc2[:, W:] > 0.0,
                                            tc2[:, W:], 2.0))
     if cfg.need_n_contrib:
-        pos1 = (jnp.float32(sm_ref[_CHUNK_R, c] * CHUNK) + 1.0
+        pos1 = (jnp.float32(sm_ref[_CHUNK_R, c] * CK) + 1.0
                 + jax.lax.broadcasted_iota(
-                    jnp.int32, (1, CHUNK), 1).astype(jnp.float32))
+                    jnp.int32, (1, CK), 1).astype(jnp.float32))
         compf = cr["comp"].astype(jnp.float32)
         b_even = jnp.where(even_lower, b_start, b_start + 1)
         b_odd = jnp.where(even_lower, b_start + 1, b_start)
@@ -536,7 +544,7 @@ def forward_mixed(cfg, prep: PreparedMixed):
         num_scalar_prefetch=2,
         grid=(_grid_size(prep),),
         in_specs=[
-            pl.BlockSpec((NFIELD, CHUNK),
+            pl.BlockSpec((NFIELD, _ck(cfg)),
                          lambda c, sm, st: (0, sm[_CHUNK_R, c]),
                          memory_space=pltpu.VMEM),
         ],
@@ -595,7 +603,7 @@ def _backward_kernel(cfg, sm_ref, st_ref, f_ref, dl_e, dl_o, bgd_e, bgd_o,
 
     chunk_first = _flag(sm_ref, c, _CF_BIT)
     prev = jnp.where(chunk_first,
-                     jnp.zeros((NFIELD, CHUNK), jnp.float32),
+                     jnp.zeros((NFIELD, _ck(cfg)), jnp.float32),
                      grads_out[...])
 
     @pl.when(_flag(sm_ref, c, _ALIVE_BIT))
@@ -636,10 +644,11 @@ def _backward_chunk_body(cfg, sm_ref, st_ref, f_ref, dl_e, dl_o, bgd_e,
                          bgd_o, grads_out, u_ent, u_pend, w_ent, w_pend,
                          dead_s, c, prev):
     W = cfg.window
+    CK = _ck(cfg)
     data = f_ref[...]
     carry_f = jnp.float32(sm_ref[_CT_R, c])
     cr = _mixed_core(cfg, data, carry_f, u_ent[...], need_G=True)
-    pend = cr["P_run"][:, CHUNK - 1:]
+    pend = cr["P_run"][:, CK - 1:]
     u_pend[...] = pend
     dead_s[0] = (jnp.max(pend) < _T_EPS).astype(jnp.int32)
 
@@ -668,7 +677,7 @@ def _backward_chunk_body(cfg, sm_ref, st_ref, f_ref, dl_e, dl_o, bgd_e,
     wc = wgt * dl_dot_c
     dlW = _prefix_masked(wc, cr["m2in"]) + jnp.where(
         cr["fs"], w_ent[...], 0.0)
-    w_pend[...] = dlW[:, CHUNK - 1:]
+    w_pend[...] = dlW[:, CK - 1:]
     S = bg_cols - dlW
     dL_dalpha = jnp.where(
         cr["comp"], dl_dot_c * cr["P_prev"] - S / cr["mult"], 0.0)
@@ -702,14 +711,14 @@ def _backward_chunk_body(cfg, sm_ref, st_ref, f_ref, dl_e, dl_o, bgd_e,
     # contraction for both bound blocks; rows pair with oh2 blocks)
     mm2 = jax.lax.dot_general(
         dl2, wgt, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [8W, CHUNK]
-    dcold = jnp.zeros((4, CHUNK), jnp.float32)
+        preferred_element_type=jnp.float32)            # [8W, CK]
+    dcold = jnp.zeros((4, CK), jnp.float32)
     for b in range(2 * W):
         dcold = dcold + oh2[b:b + 1, :] * mm2[4 * b:4 * b + 4, :]
 
     gout = jnp.concatenate(
         [dmx, dmy, dca, dcb, dcc, dop, dcold,
-         jnp.zeros((NFIELD - 10, CHUNK), jnp.float32)], axis=0)
+         jnp.zeros((NFIELD - 10, CK), jnp.float32)], axis=0)
     base_t = jnp.float32(b_start * W)
     in_win = (cr["trow"] >= base_t) & (cr["trow"] < base_t + 2 * W)
     grads_out[...] = jnp.where(in_win, gout, prev)
@@ -743,7 +752,7 @@ def backward_mixed(cfg, prep: PreparedMixed, num_gaussians, bg,
         num_scalar_prefetch=2,
         grid=(_grid_size(prep),),
         in_specs=[
-            pl.BlockSpec((NFIELD, CHUNK),
+            pl.BlockSpec((NFIELD, _ck(cfg)),
                          lambda c, sm, st: (0, sm[_CHUNK_R, c]),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4 * W, px_n),
@@ -760,7 +769,7 @@ def backward_mixed(cfg, prep: PreparedMixed, num_gaussians, bg,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((NFIELD, CHUNK),
+            pl.BlockSpec((NFIELD, _ck(cfg)),
                          lambda c, sm, st: (0, sm[_CHUNK_R, c]),
                          memory_space=pltpu.VMEM),
         ],

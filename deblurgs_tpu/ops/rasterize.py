@@ -78,6 +78,10 @@ class RasterizeConfig:
                                 # exact (~_T_EPS/(1-alpha)-order, see
                                 # tile_blend.BlendConfig.fast); needs
                                 # need_n_contrib=False
+    chunk: int = 0              # pallas mixed only: pairs per grid step
+                                # (0 = default 128). Wider chunks amortize
+                                # the per-step fixed overhead the kernel is
+                                # bound by (see tile_blend.BlendConfig.chunk)
 
     def __post_init__(self):
         if self.backend not in ("xla", "pallas", "oracle"):
@@ -97,6 +101,7 @@ class RasterizeConfig:
             backend=self.backend, interpret=self.interpret,
             need_n_contrib=self.need_n_contrib, window=self.window,
             layout=self.layout, tile_cull=self.tile_cull, fast=self.fast,
+            chunk=self.chunk,
         )
 
 

@@ -84,6 +84,13 @@ class BlendConfig:
                                # [s·num_tiles, (s+1)·num_tiles) of one
                                # stacked tile axis — one sort + one kernel
                                # launch for all sub-frames
+    chunk: int = 0             # mixed layout: pairs per grid step (0 =
+                               # default 128). The kernel is per-STEP-
+                               # overhead bound (r5 A/B: ~5.4 us/step fixed),
+                               # so wider chunks amortize it; the segmented-
+                               # prefix matmul grows O(chunk²) per step but
+                               # its volume stays far from the MXU roof.
+                               # Must be a multiple of 128 dividing max_pairs.
 
     def __post_init__(self):
         if self.fast and (self.layout != "mixed"
@@ -93,6 +100,12 @@ class BlendConfig:
                 "fast blend requires backend='pallas', layout='mixed' and "
                 "need_n_contrib=False (its T-freeze diagnostic is the one "
                 "thing fast mode drops)")
+        if self.chunk:
+            if self.layout != "mixed":
+                raise ValueError("chunk override requires layout='mixed'")
+            if self.chunk % 128 or self.max_pairs % self.chunk:
+                raise ValueError(
+                    "chunk must be a multiple of 128 dividing max_pairs")
 
     @property
     def total_tiles(self) -> int:

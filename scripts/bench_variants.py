@@ -37,7 +37,8 @@ def main():
     ap.add_argument("--variants", type=str, default="32x1,m16x4,m32x2",
                     help="comma list of [m]TILExWINDOW or "
                          "[m]TWxTHxWINDOW for rectangular tiles "
-                         "(m = mixed layout)")
+                         "(m = mixed layout); an optional cN suffix sets "
+                         "the mixed chunk width, e.g. m32x2c256")
     ap.add_argument("--bwd", action="store_true")
     ap.add_argument("--no_cull", action="store_true")
     ap.add_argument("--fat_rect", action="store_true",
@@ -59,6 +60,10 @@ def main():
         layout = "lockstep"
         if spec.startswith("m"):
             layout, spec = "mixed", spec[1:]
+        chunk = 0
+        if "c" in spec:
+            spec, ck = spec.split("c")
+            chunk = int(ck)
         parts = [int(v) for v in spec.split("x")]
         if len(parts) == 2:
             tw = th = parts[0]
@@ -78,7 +83,7 @@ def main():
                               k_max=2048, tile_w=tw, tile_h=th,
                               need_n_contrib=False, window=window,
                               layout=layout, tile_cull=not args.no_cull,
-                              tight_rect=tight,
+                              tight_rect=tight, chunk=chunk,
                               fast=args.fast and layout == "mixed")
 
         fwd = jax.jit(lambda *a: render(*a, cam, cs, bg, cfg=cfg,

@@ -145,6 +145,27 @@ class TestMixedLayoutBigTiles(TestPallasParity):
                              interpret=True, layout="mixed", window=2)
 
 
+class TestMixedLayoutWideChunk(TestPallasParity):
+    """Mixed layout with a 256-pair chunk override (cfg.chunk): the wide
+    grid step halves step count (the kernel's fixed-overhead axis); a chunk
+    spans more tiles, exercising multi-visit window advances."""
+
+    PL_CFG = RasterizeConfig(backend="pallas", max_pairs=1 << 14,
+                             interpret=True, layout="mixed", window=2,
+                             chunk=256)
+
+
+class TestMixedLayoutWideChunkFine(TestPallasParity):
+    """512-pair chunks over 8x8 tiles: many short segments per chunk plus
+    chunk-boundary carries (the hard wide-chunk case)."""
+
+    PL_CFG = RasterizeConfig(backend="pallas", max_pairs=1 << 14,
+                             interpret=True, layout="mixed", window=4,
+                             tile_w=8, tile_h=8, chunk=512)
+    XLA_CFG = RasterizeConfig(backend="xla", max_pairs=1 << 14, k_max=512,
+                              tile_w=8, tile_h=8)
+
+
 class TestTileCull:
     """Exact per-pair tile culling (pallas, need_n_contrib=False): images
     and gradients are unchanged — culled pairs could never pass the 1/255
