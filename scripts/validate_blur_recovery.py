@@ -92,6 +92,9 @@ def main():
                          "camera's curve gets a fresh Adam update each "
                          "step; B*n_sub views render per step)")
     ap.add_argument("--window", type=int, default=1)
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="mixed-layout pairs per grid step (0 = 128; wider "
+                         "chunks amortize the kernel's per-step overhead)")
     ap.add_argument("--fast", action="store_true",
                     help="fast blend mode on the training config (mixed "
                          "layout only; bounded ~1e-3-order error — the "
@@ -247,6 +250,8 @@ def main():
                            k_max=1024, tile_w=args.tile, tile_h=args.tile,
                            layout=train_layout, window=args.window,
                            need_n_contrib=train_ncon,
+                           chunk=args.chunk if train_layout == "mixed"
+                           else 0,
                            fast=(args.fast and args.backend == "pallas"
                                  and train_layout == "mixed"
                                  and not train_ncon))
