@@ -167,11 +167,14 @@ def main():
                                       sh_degree=2).num_pairs)
     num_pairs = int(probe(*gauss))
     max_pairs = max(int(num_pairs * 1.1) + 1023 & ~1023, 1 << 14)
-    # mixed/window-1 is the measured fwd optimum, mixed/window-2 the
-    # fwd+bwd optimum (runs/r3_matrix_f32.log); the train-step bench below
-    # picks its own window
+    # mixed/window-2 is the round-5 measured optimum for BOTH fwd (16.0 ms
+    # vs 17.8 at w1) and fwd+bwd (37.2 ms) — the one-contraction output
+    # routing made the wider block free while halving window-advance
+    # revisit steps (runs/r5_ab2.log); the train-step bench below uses the
+    # same window
     cfg = RasterizeConfig(backend=backend, max_pairs=max_pairs, k_max=2048,
                           tile_w=tile, tile_h=tile, need_n_contrib=False,
+                          window=2 if backend == "pallas" else 1,
                           layout="mixed" if backend == "pallas" else
                           "lockstep")
 
@@ -196,6 +199,20 @@ def main():
         "train_n_sub": None,
         "parity_ok": None,
     }
+
+    # opt-in fast blend mode (bounded ~1e-3-order error, --fast in the
+    # train CLI): reported as an extra, never the headline
+    if backend == "pallas":
+        try:
+            import dataclasses as _dc
+            fcfg = _dc.replace(cfg, fast=True)
+            ffn = jax.jit(lambda *a: render(*a, cam, cs, bg, cfg=fcfg,
+                                            sh_degree=2).image)
+            result["fast_renders_per_s"] = round(
+                1.0 / _timeit(ffn, variants, iters), 2)
+        except Exception as e:  # noqa: BLE001
+            print(f"fast-mode bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
     # forward+backward through the rasterizer custom_vjp (training kernels)
     try:
