@@ -34,7 +34,15 @@ class CameraArrays(NamedTuple):
 
 @dataclasses.dataclass(frozen=True)
 class CameraStatic:
-    """Hashable static camera metadata (jit static arg)."""
+    """Hashable static camera metadata (jit static arg).
+
+    ``clamp_tanfovx``/``clamp_tanfovy`` override the view-space clamp
+    limits of the EWA Jacobian (``compute_cov2d``'s 1.3×tan(fov) guard,
+    reference ``forward.cu:92-99``). A *crop* camera (row-slab sharded
+    rendering, ``parallel/tile_shard.py``) keeps the FULL image's limits
+    here so splats just outside the slab get bit-identical covariances to
+    the uncropped render; plain cameras leave them None (= tanfov).
+    """
 
     width: int
     height: int
@@ -42,6 +50,8 @@ class CameraStatic:
     tanfovy: float
     znear: float = 0.01
     zfar: float = 100.0
+    clamp_tanfovx: float | None = None
+    clamp_tanfovy: float | None = None
 
     @property
     def focal_x(self) -> float:
@@ -50,6 +60,14 @@ class CameraStatic:
     @property
     def focal_y(self) -> float:
         return self.height / (2.0 * self.tanfovy)
+
+    @property
+    def lim_tanfovx(self) -> float:
+        return self.tanfovx if self.clamp_tanfovx is None else self.clamp_tanfovx
+
+    @property
+    def lim_tanfovy(self) -> float:
+        return self.tanfovy if self.clamp_tanfovy is None else self.clamp_tanfovy
 
 
 def get_projection_matrix(znear: float, zfar: float, fovx: float, fovy: float,

@@ -78,8 +78,8 @@ def compute_cov2d(
     tz = p_view[..., 2]
     if safe is not None:
         tz = jnp.where(safe, tz, 1.0)
-    limx = 1.3 * cs.tanfovx
-    limy = 1.3 * cs.tanfovy
+    limx = 1.3 * cs.lim_tanfovx
+    limy = 1.3 * cs.lim_tanfovy
     tx = jnp.clip(p_view[..., 0] / tz, -limx, limx) * tz
     ty = jnp.clip(p_view[..., 1] / tz, -limy, limy) * tz
 
