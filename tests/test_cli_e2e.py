@@ -169,6 +169,10 @@ def test_train_then_evaluate_user_journey(tmp_path):
     assert os.path.exists(os.path.join(model, "chkpnt100.npz"))
     assert os.path.exists(os.path.join(
         model, "point_cloud", "iteration_150", "point_cloud.ply"))
+    # default-on training visualization (reference train.py:76,218-225):
+    # overview shots -> vis/training.mp4 (gif fallback without ffmpeg)
+    assert any(os.path.exists(os.path.join(model, "vis", f"training.{ext}"))
+               for ext in ("mp4", "gif")), "no training overview video"
 
     # held-out evaluation (reference test.py protocol: unfit → pose
     # refinement → fit → eval.txt). llffhold=3 holds out cams 0 and 3.
